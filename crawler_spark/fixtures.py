@@ -1,0 +1,423 @@
+"""Deterministic crawl fixtures + the sequential reference-order oracle.
+
+Generates the ``pages`` / ``seeds`` / ``robots`` tables (FIXTURES.md §1-3)
+entirely from ``seed=42`` — no network, no external data — with a Zipfian
+host layout: one host per authority plus one **hot shared CDN host** that
+serves every authority's depth-2 files (the skew case salted partitions +
+token buckets must survive, SURVEY.md §4.1).
+
+``sequential_oracle`` is a plain-Python reimplementation of the
+reference's loop order — ``Pagination`` cursor semantics
+(``pygdpr/models/common/pagination/__init__.py:24-30``), per-item
+retention -> md5-title key -> seen skip -> fetch -> extract
+(``pygdpr/models/dpa/austria/__init__.py:72-153``) — run over the same
+fixtures.  It produces the golden seen-set, golden crawl order (seq ->
+url) and golden per-url text that tests/test_e2e_crawl.py asserts the
+distributed engine reproduces exactly.
+
+Documented divergences from the reference (intentional, SURVEY.md §7.3):
+- duplicate-title disambiguation suffix uses ISO dates (deterministic)
+  instead of the page's raw date string;
+- robots.txt gating exists (north_rule; absent in the reference) and the
+  oracle honors it identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from datetime import date, datetime, timedelta, timezone
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import extract as X
+
+AS_OF = date(2024, 1, 15)  # frozen 'today' for the retention window (P1)
+CDN_HOST = "cdn.example.eu"
+HOSTS = {
+    "austria": "www.dsb.gv.at",
+    "ireland": "www.dataprotection.ie",
+    "denmark": "www.datatilsynet.dk",
+    "finland": "tietosuoja.fi",
+    "italy": "www.garanteprivacy.it",
+}
+
+_BOILER_HEAD = (
+    "<html><head><title>{t}</title></head><body>"
+    "<nav>Home | About | Contact</nav>"
+)
+_BOILER_FOOT = "<footer>(c) 2024 Example DPA</footer></body></html>"
+
+
+def _para_text(authority: str, p: int, i: int) -> str:
+    h = hashlib.md5(f"{authority}/{p}/{i}".encode()).hexdigest()
+    lines = [
+        f"Decision {p}-{i} of the {authority} supervisory authority.",
+        f"The controller processed personal data unlawfully (case {h[:8]}).",
+        "  Article 5(1)(a) and Article 6 GDPR were infringed.",
+        f"A fine of EUR {int(h[:6], 16) % 900000 + 1000} was imposed.",
+    ]
+    return "\n".join(lines)
+
+
+def _doc_date(authority: str, p: int, i: int) -> date:
+    """Deterministic dates, some pre-2018 so retention filters bite."""
+    n = int(hashlib.md5(f"d/{authority}/{p}/{i}".encode()).hexdigest()[:8], 16)
+    return date(2016, 1, 1) + timedelta(days=n % 2800)  # 2016..2023
+
+
+def _fmt(authority: str, d: date) -> str:
+    fmt = X.REGISTRY[authority]["date_format"]
+    if fmt.startswith("ordinal "):
+        day = d.day
+        sfx = "th" if 11 <= day % 100 <= 13 else {1: "st", 2: "nd", 3: "rd"}.get(day % 10, "th")
+        return f"{day}{sfx} {d.strftime('%B %Y')}"
+    return d.strftime(fmt)
+
+
+def _title(authority: str, p: int, i: int) -> str:
+    # denmark gets deliberate duplicate titles to hit the hash+'-'+date /
+    # same-date-skip rules (pygdpr/models/dpa/denmark/__init__.py:135-140)
+    if authority == "denmark" and i >= 3:
+        return f"Afgørelse om klage nr {i % 3}"
+    return f"{authority.title()} decision {p}-{i}"
+
+
+def list_url(a: str, k: int) -> str:
+    return f"https://{HOSTS[a]}/{a}/list?page={k}"
+
+
+def doc_url(a: str, p: int, i: int) -> str:
+    priv = "private/" if (a == "finland" and i % 7 == 0) else "docs/"
+    return f"https://{HOSTS[a]}/{a}/{priv}{p}-{i}.html"
+
+
+def file_url(a: str, p: int, i: int, j: int) -> str:
+    return f"https://{CDN_HOST}/files/{a}/{p}-{i}-{j}.pdf"
+
+
+def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
+    cfg = X.REGISTRY[a]
+    rows = []
+    for i in range(1, n_items + 1):
+        t, d, href = _title(a, k, i), _fmt(a, _doc_date(a, k, i)), doc_url(a, k, i)
+        if a == "austria":
+            rows.append(
+                f'<tr class="bocListDataRow"><td>{k}</td>'
+                f'<td><a class="title" href="{href}">{t}</a></td>'
+                f'<td><span class="date">{d}</span></td></tr>'
+            )
+        elif a == "ireland":
+            rows.append(
+                f'<li><article><h2><a href="{href}">{t}</a></h2>'
+                f'<p class="date">{d}</p></article></li>'
+            )
+        elif a == "denmark":
+            rows.append(
+                f'<div class="item"><a class="item-title" href="{href}">{t}</a>'
+                f'<span class="date">{d}</span></div>'
+            )
+        elif a == "finland":
+            rows.append(
+                f'<li class="list__item"><a class="result-link" href="{href}">{t}</a>'
+                f'<span class="date">{d}</span></li>'
+            )
+        else:  # italy
+            rows.append(
+                f'<div class="post"><h3><a href="{href}">{t}</a></h3>'
+                f'<span class="date">{d}</span></div>'
+            )
+    body = {
+        "austria": '<table class="bocListTable"><tbody class="bocListTableBody">{r}</tbody></table>',
+        "ireland": '<div class="view-content"><div class="item-list"><ul>{r}</ul></div></div>',
+        "denmark": '<div class="ajaxhost"><div class="items">{r}</div></div>',
+        "finland": '<ul class="results">{r}</ul>',
+        "italy": '<div class="posts">{r}</div>',
+    }[a].format(r="".join(rows))
+    pager = ""
+    if cfg["pagination"] == "next" and k < n_pages:
+        pager = f'<ul class="Pages"><li class="next"><a href="{list_url(a, k + 1)}">Next</a></li></ul>'
+    elif cfg["pagination"] in ("all", "computed"):
+        links = "".join(
+            f'<li class="page-item"><a href="{list_url(a, j)}">{j}</a></li>'
+            for j in range(1, n_pages + 1)
+            if j != k
+        )
+        cls = "pagination" if cfg["pagination"] == "computed" else "Pages"
+        wrap = f'<ul class="{cls}">{links}</ul>'
+        pager = f"<nav class=\"pager\">{wrap}</nav>" if cfg["pagination"] == "all" else wrap
+    return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
+
+
+def _docpage_html(a: str, p: int, i: int, n_files: int) -> str:
+    cfg = X.REGISTRY[a]
+    text = _para_text(a, p, i)
+    paras = "".join(f"<p>{ln}</p>" for ln in text.split("\n"))
+    sel = cfg["body_selector"]
+    tag_class = sel.split(".")[-1] if "." in sel else sel
+    body = f'<div class="{tag_class}">{paras}</div>'
+    files = ""
+    if cfg["depth2_selector"] and n_files:
+        links = "".join(
+            f'<p><a href="{file_url(a, p, i, j)}">Liite {j} (PDF)</a></p>'
+            for j in range(1, n_files + 1)
+        )
+        body = f'<div class="{tag_class}">{paras}{links}</div>'
+        files = ""
+    return (
+        _BOILER_HEAD.format(t=_title(a, p, i))
+        + body
+        + files
+        + _BOILER_FOOT
+    )
+
+
+def generate(
+    out_dir: str,
+    n_pages: int = 3,
+    n_items: int = 4,
+    n_files: int = 2,
+    authorities: tuple[str, ...] = ("austria", "ireland", "denmark", "finland", "italy"),
+) -> dict[str, str]:
+    """Write pages/seeds/robots parquet under out_dir; returns paths.
+
+    Idempotent per (out_dir) — regenerating overwrites deterministically.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    base_ts = datetime(2024, 1, 10, tzinfo=timezone.utc)
+    pages: list[dict] = []
+
+    def add(url: str, html: bytes | None, text: str | None, lang: str, off: int):
+        pages.append(
+            {
+                "url": url,
+                "warc_ts": base_ts + timedelta(seconds=off),
+                "html": html,
+                "text": text,
+                "lang": lang,
+            }
+        )
+
+    off = 0
+    for a in authorities:
+        lang = X.REGISTRY[a]["lang"]
+        for k in range(1, n_pages + 1):
+            add(list_url(a, k), _listing_html(a, k, n_pages, n_items).encode(), None, lang, off)
+            off += 1
+            for i in range(1, n_items + 1):
+                has_files = bool(X.REGISTRY[a]["depth2_selector"]) and (i % 2 == 1)
+                nf = n_files if has_files else 0
+                html = _docpage_html(a, k, i, nf)
+                gt = None
+                if nf == 0:
+                    # ground truth = the same extraction the engine must hit
+                    gt = X.parse_docpage(a, doc_url(a, k, i), html)["text"]
+                add(doc_url(a, k, i), html.encode(), gt, lang, off)
+                off += 1
+                for j in range(1, nf + 1):
+                    payload = _para_text(a, k, i) + f"\n[attachment {j}]"
+                    add(
+                        file_url(a, k, i, j),
+                        X.FAKE_PDF_HEADER + payload.encode(),
+                        payload,
+                        lang,
+                        off,
+                    )
+                    off += 1
+    # a few 404s: urls referenced nowhere + one listing gap is not needed;
+    # misses are exercised by the robots-blocked private/ pages which we
+    # deliberately do NOT store for finland page-1 (fetch join miss).
+    pages_pdf = pd.DataFrame(pages)
+
+    seeds = pd.DataFrame(
+        [
+            {
+                "authority": a,
+                "doc_type": "Decisions",
+                "url": list_url(a, 1),
+                "priority": pr,
+                "politeness_delay_s": X.REGISTRY[a]["politeness_delay_s"],
+            }
+            for pr, a in enumerate(authorities)
+        ]
+    )
+    robots = pd.DataFrame(
+        [
+            {
+                "host": HOSTS["finland"],
+                "robots_txt": "User-agent: *\nDisallow: /finland/private/\nCrawl-delay: 1\n",
+            },
+            {"host": HOSTS["austria"], "robots_txt": "User-agent: *\nAllow: /\n"},
+            {"host": CDN_HOST, "robots_txt": "User-agent: *\nAllow: /\n"},
+        ]
+    )
+
+    paths = {}
+    for name, pdf in (("pages", pages_pdf), ("seeds", seeds), ("robots", robots)):
+        path = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        paths[name] = path
+    return paths
+
+
+SF_PROFILES = {
+    # (n_pages, n_items, n_files)
+    "sf0.001": (2, 3, 1),
+    "sf0.01": (4, 8, 2),
+    "sf0.1": (12, 30, 3),
+}
+
+
+def fixture_dir(profile: str = "sf0.01", root: str = "/tmp/crawler_spark_fixtures") -> str:
+    """Generate-once cache of crawl fixtures for a scale profile."""
+    out = os.path.join(root, profile)
+    marker = os.path.join(out, ".complete")
+    if not os.path.exists(marker):
+        n_pages, n_items, n_files = SF_PROFILES[profile]
+        generate(out, n_pages=n_pages, n_items=n_items, n_files=n_files)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sequential oracle — the reference's loop order in plain Python
+# ---------------------------------------------------------------------------
+
+
+def _robots_disallowed(robots: dict[str, str], url: str) -> bool:
+    from urllib.parse import urlsplit
+    from urllib.robotparser import RobotFileParser
+
+    host = urlsplit(url).hostname
+    body = robots.get(host)
+    if body is None:
+        return False
+    rp = RobotFileParser()
+    rp.parse(body.splitlines())
+    return not rp.can_fetch("*", url)
+
+
+def sequential_oracle(
+    fix_dir: str, as_of: date = AS_OF, persistent_seen: set[str] | None = None
+) -> dict:
+    """Golden single-threaded crawl (reference order) over the fixtures.
+
+    Mirrors: Pagination cursor (pygdpr/models/common/pagination/
+    __init__.py:24-30), per-item P1/P2 retention, X1 md5-title key, P3
+    seen skip, P4 duplicate-title rules (denmark variant), depth-2 file
+    harvesting (finland), politeness ignored (it affects only round
+    boundaries, not the final state — SURVEY.md §5.3).
+    """
+    pages = pd.read_parquet(os.path.join(fix_dir, "pages.parquet"))
+    seeds = pd.read_parquet(os.path.join(fix_dir, "seeds.parquet"))
+    robots = dict(
+        pd.read_parquet(os.path.join(fix_dir, "robots.parquet")).itertuples(
+            index=False, name=None
+        )
+    )
+    web = {r.url: r for r in pages.itertuples(index=False)}
+
+    docs: list[dict] = []
+    # P3 state (previous runs' visitedDocs) is distinct from the P4
+    # within-run dict — the reference reads existing_docs once at startup
+    # (gdprCrawler.py:103-121) and consults the run-local dict_hashcode
+    # for duplicates discovered during the run
+    # (pygdpr/models/dpa/denmark/__init__.py:86-88,135-140).
+    persistent = set(persistent_seen or ())
+    fetch_order: list[str] = []
+    run_first_date: dict[str, date] = {}  # P4 dict_hashcode (run-global)
+    run_final_keys: set[str] = set()
+
+    seeds = seeds.sort_values(["priority", "authority", "doc_type"]).reset_index(
+        drop=True
+    )
+    for seed_idx, seed in enumerate(seeds.itertuples(index=False)):
+        a = seed.authority
+        links: list[tuple[str, int]] = [(seed.url, X.seq_seed(seed_idx, 1))]
+        enqueued = {seed.url}
+        cursor = 0
+        while cursor < len(links):
+            page_url, page_seq = links[cursor]
+            cursor += 1
+            if _robots_disallowed(robots, page_url):
+                continue
+            row = web.get(page_url)
+            fetch_order.append(page_url)
+            if row is None or row.html is None:
+                continue
+            parsed = X.parse_listing(a, page_url, bytes(row.html).decode("utf-8"))
+            for href, page_no in parsed["next_pages"]:
+                if href not in enqueued:  # Pagination.add_item dedupe
+                    enqueued.add(href)
+                    links.append((href, X.seq_child_page(page_seq, page_no)))
+            for i, (title, date_str, href) in enumerate(parsed["items"], start=1):
+                d = X.parse_date_str(a, date_str)
+                if not X.retained(a, d, as_of):
+                    continue
+                doc_hash = hashlib.md5(title.encode()).hexdigest()  # X1
+                if doc_hash in persistent:  # P3: raw key vs prior runs
+                    continue
+                # P4 within-run duplicate handling (denmark rule) — the
+                # first-date registry is set BEFORE the fetch, like the
+                # reference's dict_hashcode
+                key = doc_hash
+                if doc_hash in run_first_date:
+                    if run_first_date[doc_hash] == d:
+                        continue
+                    key = f"{doc_hash}-{d.isoformat()}"
+                    if key in run_final_keys:
+                        continue  # same (hash,date) twice -> first wins
+                else:
+                    run_first_date[doc_hash] = d
+                if _robots_disallowed(robots, href):
+                    continue
+                item_seq = X.seq_child_item(page_seq, i)
+                drow = web.get(href)
+                fetch_order.append(href)
+                if drow is None or drow.html is None:
+                    continue
+                dp = X.parse_docpage(a, href, bytes(drow.html).decode("utf-8"))
+                if dp["file_links"]:
+                    for j, furl in enumerate(dp["file_links"], start=1):
+                        if _robots_disallowed(robots, furl):
+                            continue
+                        frow = web.get(furl)
+                        fetch_order.append(furl)
+                        if frow is None or frow.html is None:
+                            continue
+                        fkey = key if j == 1 else f"{key}#{j}"
+                        docs.append(
+                            {
+                                "doc_hash": fkey,
+                                "authority": a,
+                                "url": furl,
+                                "title": title,
+                                "release_date": d,
+                                "text": X.decode_file(furl, bytes(frow.html)),
+                                "seq": X.seq_child_link(item_seq, j),
+                            }
+                        )
+                else:
+                    docs.append(
+                        {
+                            "doc_hash": key,
+                            "authority": a,
+                            "url": href,
+                            "title": title,
+                            "release_date": d,
+                            "text": dp["text"],
+                            "seq": item_seq,
+                        }
+                    )
+                run_final_keys.add(key)
+    docs.sort(key=lambda r: r["seq"])
+    # reference appends the run's final keys to visitedDocs at commit
+    # (gdprCrawler.py:292-301)
+    return {
+        "documents": docs,
+        "seen": persistent | run_final_keys,
+        "fetch_order": fetch_order,
+    }

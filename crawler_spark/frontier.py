@@ -1,0 +1,287 @@
+"""Frontier scheduling: salted per-host partitions, politeness token
+buckets, robots gating, P3/P4 candidate admission (SURVEY.md §2.6, §4).
+
+Reference behavior re-expressed:
+
+- R1 politeness ``time.sleep(5)`` before each fetch (36 call sites, e.g.
+  ``pygdpr/models/dpa/ireland/__init__.py:144``) becomes a **per-host
+  budget per micro-batch round**: ``capacity = round_seconds / delay``
+  fetch tokens; enforced declaratively with ``row_number() OVER
+  (PARTITION BY host_salt ORDER BY priority, seq) <= salt_budget`` —
+  rows over budget stay ``pending`` for the next round.
+- hot-host skew (Zipfian frontier) is killed by salting:
+  ``host_salt = host || '#' || pmod(url_hash, S)`` with S derived from
+  per-host pending counts and **capped at the host's budget** so the
+  token-bucket semantics survive the split (budget divided across
+  salts; total scheduled per host never exceeds the budget).
+- R5 robots.txt gating (north_rule; absent in the reference): broadcast
+  join on host + an Arrow-vectorized pandas UDF wrapping stdlib
+  ``urllib.robotparser`` with a per-host parser cache.
+- P3/P4 admission for document candidates — see :func:`admit_candidates`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from . import urls
+
+MAX_SALTS = 32
+UNLIMITED_BUDGET = 1_000_000  # hosts with no politeness delay
+
+
+# ---------------------------------------------------------------------------
+# robots gating (R5)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(BooleanType())
+def robots_allowed_udf(url: pd.Series, robots_txt: pd.Series) -> pd.Series:
+    """True iff robots.txt allows '*' to fetch url.  Null robots -> allow.
+
+    Parser instances are cached per distinct robots body within the Arrow
+    batch, so cost is O(distinct hosts), not O(rows).
+    """
+    from urllib.robotparser import RobotFileParser
+
+    cache: dict[str, RobotFileParser] = {}
+    out = []
+    for u, body in zip(url, robots_txt):
+        if body is None or u is None:
+            out.append(True)
+            continue
+        rp = cache.get(body)
+        if rp is None:
+            rp = RobotFileParser()
+            rp.parse(body.splitlines())
+            cache[body] = rp
+        out.append(rp.can_fetch("*", u))
+    return pd.Series(out, dtype=bool)
+
+
+def gate_robots(
+    frontier: DataFrame, robots: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Split pending rows into (allowed, denied) by robots.txt.
+
+    robots is a small dim -> broadcast join; no shuffle of the frontier.
+    """
+    joined = frontier.join(
+        F.broadcast(robots), on=frontier["host"] == robots["host"], how="left"
+    ).drop(robots["host"])
+    flagged = joined.withColumn(
+        "__allowed", robots_allowed_udf(F.col("url"), F.col("robots_txt"))
+    ).drop("robots_txt")
+    return (
+        flagged.filter(F.col("__allowed")).drop("__allowed"),
+        flagged.filter(~F.col("__allowed")).drop("__allowed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# politeness scheduling (R1) inside salted per-host partitions
+# ---------------------------------------------------------------------------
+
+
+def host_budgets(
+    pending: DataFrame, seeds: DataFrame, round_seconds: float = 60.0
+) -> DataFrame:
+    """Per-host token budget for one round: round_seconds / delay.
+
+    The politeness delay is an authority property in the seeds table
+    (FIXTURES.md §2); a host's budget is bounded by the *strictest*
+    authority that fetches from it (min over authorities -> max delay).
+    """
+    delays = seeds.groupBy("authority").agg(
+        F.max("politeness_delay_s").alias("delay_s")
+    )
+    return (
+        pending.select("host", "authority")
+        .distinct()
+        .join(F.broadcast(delays), "authority", "left")
+        .groupBy("host")
+        .agg(F.max("delay_s").alias("delay_s"))
+        .select(
+            "host",
+            F.when(
+                F.col("delay_s").isNull() | (F.col("delay_s") <= 0.0),
+                F.lit(UNLIMITED_BUDGET),
+            )
+            .otherwise(
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(round_seconds) / F.col("delay_s")).cast("int"),
+                )
+            )
+            .alias("budget"),
+        )
+    )
+
+
+def schedule(
+    pending: DataFrame,
+    budgets: DataFrame,
+    salt_rows_target: int = 50_000,
+) -> DataFrame:
+    """Pick this round's fetch set under per-host budgets.
+
+    1. per-host pending counts -> salt count ``S = clamp(ceil(n/target),
+       1, min(MAX_SALTS, budget))`` — S never exceeds the budget so the
+       per-salt budget ``budget // S`` keeps host totals <= budget.
+    2. ``host_salt = host#pmod(url_hash, S)`` spreads a hot host over S
+       shuffle partitions (the window below then ranks within salts, so
+       no single reducer sees the whole hot host).
+    3. rank by (priority, seq) inside each salt; keep rank <= per-salt
+       budget.  ORDER BY seq makes scheduling deterministic and replays
+       the reference's crawl order (SURVEY.md §3.3).
+    """
+    counts = pending.groupBy("host").agg(F.count("*").alias("n_pending"))
+    plan = (
+        counts.join(F.broadcast(budgets), "host", "left")
+        .na.fill({"budget": UNLIMITED_BUDGET})
+        .select(
+            "host",
+            "budget",
+            F.least(
+                F.greatest(
+                    F.ceil(F.col("n_pending") / F.lit(salt_rows_target)).cast("int"),
+                    F.lit(1),
+                ),
+                F.least(F.lit(MAX_SALTS), F.col("budget")),
+            ).alias("n_salts"),
+        )
+        .withColumn(
+            "salt_budget", F.floor(F.col("budget") / F.col("n_salts")).cast("int")
+        )
+    )
+    salted = pending.join(F.broadcast(plan), "host").withColumn(
+        "host_salt",
+        F.concat(
+            F.col("host"), F.lit("#"), F.pmod(F.col("url_hash"), F.col("n_salts"))
+        ),
+    )
+    w = Window.partitionBy("host_salt").orderBy("priority", "seq")
+    return (
+        salted.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= F.col("salt_budget"))
+        .drop("__rank", "n_salts", "salt_budget", "budget", "host_salt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# candidate admission: P3 (persistent seen) + P4 (within-run duplicates)
+# ---------------------------------------------------------------------------
+
+
+def admit_candidates(
+    candidates: DataFrame,
+    seen: DataFrame,
+    frontier_depth1: DataFrame,
+    run_id: int,
+) -> DataFrame:
+    """Decide final doc keys for depth-1 candidates of one round.
+
+    Semantics mirrored from the reference (and the sequential oracle in
+    fixtures.py):
+
+    - P3: drop candidates whose raw md5 equals a *final* key from a
+      previous run (``document_hash in existing_docs``,
+      ``pygdpr/models/dpa/austria/__init__.py:100-103``) — left-anti join.
+    - P4: within the current run, the first occurrence (by seq) of a raw
+      hash registers its date; later occurrences with the same date are
+      dropped, different dates get ``md5-<iso date>`` keys, and repeated
+      (hash, date) pairs keep only the first
+      (``pygdpr/models/dpa/denmark/__init__.py:135-140``).  "First"
+      spans earlier rounds (frontier depth-1 rows already enqueued this
+      run) plus the current batch, resolved with one window over
+      ``raw_hash ORDER BY seq``.
+
+    Input needs columns: url, url_hash, raw_hash, release_date, seq (+
+    passthrough).  Output: admitted rows with final ``doc_hash``.
+    """
+    # P3 — prior-run final keys, compared against the candidate's RAW key
+    prior = seen.filter(F.col("run_id") < run_id).select(
+        F.col("doc_hash").alias("raw_hash")
+    )
+    cand = candidates.join(prior, "raw_hash", "left_anti")
+
+    # first-date registry from earlier rounds of this run
+    reg = (
+        frontier_depth1.filter(F.col("raw_hash").isNotNull())
+        .groupBy("raw_hash")
+        .agg(
+            F.min_by("release_date", "seq").alias("first_date"),
+            F.min("seq").alias("first_seq"),
+        )
+    )
+    # resolve "first" across (registry ∪ current batch) with one window
+    w = Window.partitionBy("raw_hash").orderBy("seq")
+    cand = (
+        cand.join(reg, "raw_hash", "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__batch_first_date", F.first("release_date").over(w)
+        )
+        .withColumn(
+            "first_date",
+            F.coalesce(F.col("first_date"), F.col("__batch_first_date")),
+        )
+    )
+    is_first = F.col("first_seq").isNull() & (F.col("__rn") == 1)
+    same_date = F.col("release_date") == F.col("first_date")
+    cand = cand.withColumn(
+        "doc_hash",
+        F.when(is_first, F.col("raw_hash")).otherwise(
+            F.when(same_date, F.lit(None)).otherwise(
+                F.concat(
+                    F.col("raw_hash"),
+                    F.lit("-"),
+                    F.date_format("release_date", "yyyy-MM-dd"),
+                )
+            )
+        ),
+    ).filter(F.col("doc_hash").isNotNull())
+    # repeated (hash, date) after suffixing -> first by seq wins,
+    # within the batch (window) and across earlier rounds (anti-join
+    # against final keys already enqueued this run)
+    w2 = Window.partitionBy("doc_hash").orderBy("seq")
+    cand = (
+        cand.withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") == 1)
+        .drop("__rn", "__rn2", "__batch_first_date", "first_date", "first_seq")
+        .join(frontier_depth1.select("doc_hash").distinct(), "doc_hash", "left_anti")
+    )
+    return cand
+
+
+def seed_frontier(seeds: DataFrame) -> DataFrame:
+    """Seeds -> depth-0 frontier rows with deterministic seed_idx seq.
+
+    seed_idx follows (priority, authority, doc_type) order — the CLI
+    dispatch order of the reference (gdprCrawler.py:124-289).
+    """
+    w = Window.orderBy("priority", "authority", "doc_type")
+    # seq = seq_seed(seed_idx, page=1): shifts match extract.py bit layout
+    return seeds.select(
+        F.col("url"),
+        urls.url_hash(urls.canonicalize_simple(F.col("url"))).alias("url_hash"),
+        "authority",
+        "doc_type",
+        F.lit(0).alias("depth"),
+        F.col("priority"),
+        urls.host_of(F.col("url")).alias("host"),
+        (
+            ((F.row_number().over(w) - F.lit(1)).cast("long") * F.lit(1 << 14)
+             + F.lit(1)) * F.lit(1 << (6 + 12))
+        ).alias("seq"),
+        F.lit("pending").alias("state"),
+        F.lit(0).alias("retry_count"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("date").alias("release_date"),
+        F.lit(None).cast("string").alias("doc_hash"),
+        F.lit(None).cast("string").alias("raw_hash"),
+    )

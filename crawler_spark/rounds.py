@@ -1,0 +1,426 @@
+"""Micro-batch crawl rounds: expand -> dedupe -> schedule -> fetch/extract
+-> append, checkpoint-resumable with per-partition lineage (SURVEY.md §4.4/4.5).
+
+One round is the distributed analog of one sweep of the reference's
+``while pagination.has_next()`` loop
+(``pygdpr/models/dpa/austria/__init__.py:72-153``), run for *all*
+authorities/hosts at once.  Next-link pagination is inherently sequential
+per seed chain (page k+1's URL is only known after parsing page k), so a
+chain advances one page per round while thousands of chains/hosts advance
+in parallel — the reference's own loop structure, parallelized across its
+outer dimension (SURVEY.md §7.3.2).
+
+Commit protocol per round: documents / seen / fetch_log / frontier /
+metrics commit first, the ``lineage`` row commits LAST and is the round's
+commit point — resume rolls every table back to the snapshot ids in the
+last lineage row, so a crash mid-commit replays the whole round
+idempotently (the reference instead loses its entire run delta on crash,
+``gdprCrawler.py:292-301``).
+
+Scale notes: the frontier state update is a full overwrite here
+(read-modify-write join); at 10^10 rows that becomes an Iceberg
+merge-on-read MERGE — same plan shape, delta-file commit instead of
+rewrite.  html bytes never enter a shuffle: they come off the ``pages``
+scan side of the fetch join and are consumed immediately by the
+mapInPandas stage (column pruning keeps them out of everything else).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import frontier as FR
+from . import schema as S
+from . import seen as SN
+from . import urls
+from .extract import EXTRACT_OUT, LINK_BITS, MAX_LINK, make_fetch_extract
+from .tables import SnapshotTable
+
+
+class CrawlRun:
+    """State + driver for one resumable crawl over a ``pages`` table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        pages_path: str,
+        seeds_path: str,
+        robots_path: str,
+        as_of: date,
+        run_id: int = 1,
+        round_seconds: float = 60.0,
+        use_bloom: bool = True,
+        n_shards: int = SN.DEFAULT_SHARDS,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.pages_path = pages_path
+        self.seeds_path = seeds_path
+        self.robots_path = robots_path
+        self.as_of = as_of
+        self.run_id = run_id
+        self.round_seconds = round_seconds
+        self.use_bloom = use_bloom
+        self.n_shards = n_shards
+
+        t = lambda name, sch: SnapshotTable(os.path.join(state_dir, name), sch)
+        self.frontier = t("frontier", S.FRONTIER)
+        self.seen = t("seen", S.SEEN)
+        self.bloom = t("seen_bloom", S.SEEN_BLOOM)
+        self.documents = t("documents", S.DOCUMENTS)
+        self.fetch_log = t("fetch_log", S.FETCH_LOG)
+        self.lineage = t("lineage", S.LINEAGE)
+        self.metrics = t("metrics", S.METRICS)
+
+    # -- setup / resume -------------------------------------------------------
+
+    def seeds_df(self) -> DataFrame:
+        return self.spark.read.schema(S.SEEDS).parquet(self.seeds_path)
+
+    def pages_df(self) -> DataFrame:
+        return self.spark.read.schema(S.PAGES).parquet(self.pages_path)
+
+    def robots_df(self) -> DataFrame:
+        return self.spark.read.schema(S.ROBOTS).parquet(self.robots_path)
+
+    def init(self) -> None:
+        """Seed the frontier (round 0 commit point)."""
+        if self.frontier.current_snapshot_id() is not None:
+            return
+        self.frontier.overwrite(FR.seed_frontier(self.seeds_df()), note="seed")
+        self._commit_lineage(round_id=0, fetched=0, extracted=0)
+
+    def last_committed_round(self) -> int | None:
+        lin = self.lineage.read(self.spark)
+        row = lin.agg(F.max("round_id").alias("r")).collect()[0]
+        return None if row["r"] is None else int(row["r"])
+
+    def resume(self) -> int:
+        """Roll every table back to the last lineage commit point.
+
+        Returns the next round id to run.  Any partial commits after the
+        last lineage row are discarded (time-travel via snapshot ids).
+        """
+        last = self.last_committed_round()
+        if last is None:
+            self.init()
+            return 1
+        lin = (
+            self.lineage.read(self.spark)
+            .filter(F.col("round_id") == last)
+            .select("frontier_snapshot", "seen_snapshot", "documents_snapshot")
+            .limit(1)
+            .collect()[0]
+        )
+        for table, sid in (
+            (self.frontier, lin["frontier_snapshot"]),
+            (self.seen, lin["seen_snapshot"]),
+            (self.documents, lin["documents_snapshot"]),
+        ):
+            if table.current_snapshot_id() != sid:
+                df = table.read(self.spark, sid)
+                table.overwrite(df, note=f"rollback-to-{sid}")
+        return last + 1
+
+    def _commit_lineage(self, round_id: int, fetched: int, extracted: int) -> None:
+        """One lineage row per url_hash shard (per-partition offsets)."""
+        fr = self.frontier.read(self.spark)
+        per_shard = (
+            fr.groupBy(SN.shard_of(F.col("url_hash"), self.n_shards).alias("pid"))
+            .agg(F.count("*").alias("offset"))
+            .collect()
+        )
+        rows = [
+            (
+                round_id,
+                self.frontier.current_snapshot_id() or "",
+                self.seen.current_snapshot_id() or "",
+                self.documents.current_snapshot_id() or "",
+                int(r["pid"]),
+                int(r["offset"]),
+                round_id,
+                fetched,
+                extracted,
+            )
+            for r in per_shard
+        ] or [(round_id, self.frontier.current_snapshot_id() or "",
+               self.seen.current_snapshot_id() or "",
+               self.documents.current_snapshot_id() or "", 0, 0, round_id, 0, 0)]
+        df = self.spark.createDataFrame(
+            rows,
+            "round_id long, frontier_snapshot string, seen_snapshot string, "
+            "documents_snapshot string, partition_id int, frontier_offset long, "
+            "bloom_version long, fetched long, extracted long",
+        ).withColumn("committed_ts", F.current_timestamp())
+        self.lineage.append(df, note=f"round-{round_id}")
+
+    # -- one round ------------------------------------------------------------
+
+    def round(self, round_id: int) -> dict | None:
+        """Run one micro-batch round; returns stats or None if frontier drained."""
+        t0 = time.time()
+        spark = self.spark
+        frontier_df = self.frontier.read(spark)
+        pending = frontier_df.filter(F.col("state") == "pending")
+        if pending.limit(1).count() == 0:
+            return None
+
+        # 1. robots gate (R5) — broadcast join, pandas UDF
+        allowed, denied = FR.gate_robots(pending, self.robots_df())
+
+        # 2. politeness schedule (R1) in salted per-host partitions
+        budgets = FR.host_budgets(allowed, self.seeds_df(), self.round_seconds)
+        scheduled = FR.schedule(allowed, budgets).persist()
+
+        # 3. fetch = left equi-join vs pages (S3/S4); html stays on the
+        #    scan side, consumed immediately by the extract stage
+        pages = self.pages_df().select(
+            "url", "html", F.col("lang").alias("page_lang")
+        )
+        fetched = scheduled.join(pages, "url", "left").select(
+            "url",
+            "authority",
+            "doc_type",
+            "depth",
+            "priority",
+            "seq",
+            "title",
+            "release_date",
+            "doc_hash",
+            "raw_hash",
+            "html",
+            F.col("page_lang").alias("lang"),
+        )
+        out = fetched.mapInPandas(make_fetch_extract(self.as_of), EXTRACT_OUT).persist()
+
+        # 4a. expansion: depth-0 listing children — URL-level dedupe
+        #     (Pagination.add_item + page_list memo, P5) via left-anti
+        #     join on url_hash vs everything already enqueued
+        children = out.filter(F.col("out_kind") == "child")
+        listing_children = self._to_frontier_rows(
+            children.filter(F.col("depth") == 0)
+        ).dropDuplicates(["url_hash"]).join(
+            frontier_df.select("url_hash"), "url_hash", "left_anti"
+        )
+
+        # 4b. expansion: depth-1 document candidates — X1 key + P3/P4
+        cand = (
+            children.filter(F.col("depth") == 1)
+            .withColumn("raw_hash", F.md5(F.encode(F.col("title"), "UTF-8")))
+            .withColumn("doc_hash", F.lit(None).cast("string"))
+        )
+        cand = self._to_frontier_rows(cand, keep_keys=True)
+        admitted = FR.admit_candidates(
+            cand,
+            self._seen_for_p3(),
+            frontier_df.filter(F.col("depth") == 1),
+            self.run_id,
+        )
+
+        # 4c. expansion: depth-2 file children (keys inherited from parent)
+        file_children = self._to_frontier_rows(
+            children.filter(F.col("depth") == 2), keep_keys=True
+        ).dropDuplicates(["url_hash"]).join(
+            frontier_df.select("url_hash"), "url_hash", "left_anti"
+        )
+
+        new_rows = listing_children.unionByName(admitted).unionByName(file_children)
+
+        # 5. documents: depth-1 doc rows + decoded depth-2 files; within a
+        #    docpage, files >1 get '#<link_idx>' keys (fixtures oracle)
+        docs = out.filter(F.col("out_kind") == "doc").withColumn(
+            "final_key",
+            F.when(
+                (F.col("depth") == 2)
+                & ((F.col("seq").bitwiseAND(F.lit(MAX_LINK))) > 1),
+                F.concat(
+                    F.col("doc_hash"),
+                    F.lit("#"),
+                    (F.col("seq").bitwiseAND(F.lit(MAX_LINK))).cast("string"),
+                ),
+            ).otherwise(F.col("doc_hash")),
+        )
+        doc_rows = docs.select(
+            F.col("final_key").alias("doc_hash"),
+            "authority",
+            "doc_type",
+            "url",
+            F.create_map(F.col("lang"), F.col("title")).alias("title"),
+            "release_date",
+            "lang",
+            "content",
+            "text",
+            F.lit(round_id).cast("long").alias("batch_id"),
+            "seq",
+        )
+
+        # 6. seen delta: every depth-1 docpage fetched OK registers its
+        #    final key (oracle: run_final_keys.add after docpage fetch)
+        seen_delta = (
+            out.filter(
+                (F.col("depth") == 1)
+                & (F.col("status") == "ok")
+                & (F.col("out_kind").isin("doc", "log"))
+                & F.col("doc_hash").isNotNull()
+            )
+            .select("doc_hash", "raw_hash", "release_date", "seq")
+            .distinct()
+            .select(
+                F.xxhash64(F.col("doc_hash")).alias("url_hash"),
+                "doc_hash",
+                "raw_hash",
+                "release_date",
+                "seq",
+                F.lit(self.run_id).cast("long").alias("run_id"),
+                F.current_timestamp().alias("first_seen_ts"),
+                SN.shard_of(F.xxhash64(F.col("doc_hash")), self.n_shards).alias(
+                    "shard"
+                ),
+            )
+        )
+
+        # 7. state transitions + logs
+        result_state = out.filter(F.col("out_kind") == "log").select(
+            F.xxhash64(urls.canonicalize_simple(F.col("url"))).alias("url_hash"),
+            F.when(F.col("status") == "ok", "fetched")
+            .otherwise("failed")
+            .alias("new_state"),
+        )
+        doc_state = docs.select(
+            F.xxhash64(urls.canonicalize_simple(F.col("url"))).alias("url_hash"),
+            F.lit("fetched").alias("new_state"),
+        )
+        denied_state = denied.select(
+            "url_hash", F.lit("failed").alias("new_state")
+        )
+        states = (
+            result_state.unionByName(doc_state)
+            .unionByName(denied_state)
+            .dropDuplicates(["url_hash"])
+        )
+        updated = (
+            frontier_df.join(states, "url_hash", "left")
+            .withColumn("state", F.coalesce(F.col("new_state"), F.col("state")))
+            .drop("new_state")
+        )
+        new_frontier = updated.unionByName(new_rows)
+
+        log_rows = out.filter(F.col("out_kind") == "log").select(
+            F.lit(round_id).cast("long").alias("batch_id"),
+            "url",
+            F.xxhash64(urls.canonicalize_simple(F.col("url"))).alias("url_hash"),
+            urls.host_of(F.col("url")).alias("host"),
+            "status",
+            F.length(F.col("content")).cast("long").alias("bytes"),
+        )
+
+        # -- stats (actions) --------------------------------------------------
+        n_sched = scheduled.count()
+        n_docs = doc_rows.count()
+        n_new = new_rows.count()
+        n_seen = seen_delta.count()
+
+        met = (
+            out.groupBy("authority")
+            .agg(
+                F.sum(F.when(F.col("out_kind") == "child", 1).otherwise(0)).alias(
+                    "expanded"
+                ),
+                F.sum(F.when(F.col("out_kind") == "doc", 1).otherwise(0)).alias(
+                    "fetched"
+                ),
+                F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias(
+                    "failed"
+                ),
+                F.sum(
+                    F.when(
+                        F.col("text").isNotNull(), F.length("text")
+                    ).otherwise(0)
+                ).alias("bytes_extracted"),
+            )
+            .select(
+                F.lit(round_id).cast("long").alias("round_id"),
+                "authority",
+                F.lit("*").alias("host"),
+                F.col("expanded").cast("long"),
+                F.lit(0).cast("long").alias("deduped"),
+                F.lit(n_sched).cast("long").alias("scheduled"),
+                F.col("fetched").cast("long"),
+                F.col("failed").cast("long"),
+                F.col("bytes_extracted").cast("long"),
+                F.lit(int((time.time() - t0) * 1000)).cast("long").alias("wall_ms"),
+            )
+        )
+
+        # -- commits (lineage last = commit point) ----------------------------
+        self.documents.append(doc_rows, note=f"round-{round_id}")
+        self.seen.append(seen_delta, note=f"round-{round_id}")
+        if self.use_bloom:
+            prior_bloom = self.bloom.read(spark)
+            self.bloom.overwrite(
+                SN.bloom_build(
+                    spark, seen_delta.select("url_hash"), prior_bloom,
+                    n_shards=self.n_shards,
+                ),
+                note=f"round-{round_id}",
+            )
+        self.fetch_log.append(log_rows, note=f"round-{round_id}")
+        self.frontier.overwrite(new_frontier, note=f"round-{round_id}")
+        self.metrics.append(met, note=f"round-{round_id}")
+        self._commit_lineage(round_id, fetched=n_sched, extracted=n_docs)
+
+        scheduled.unpersist()
+        out.unpersist()
+        return {
+            "round": round_id,
+            "scheduled": n_sched,
+            "docs": n_docs,
+            "new_frontier_rows": n_new,
+            "seen_delta": n_seen,
+            "wall_s": time.time() - t0,
+        }
+
+    def _seen_for_p3(self) -> DataFrame:
+        return self.seen.read(self.spark)
+
+    def _to_frontier_rows(self, df: DataFrame, keep_keys: bool = False) -> DataFrame:
+        canon = urls.canonicalize_simple(F.col("url"))
+        return df.select(
+            F.col("url"),
+            F.xxhash64(canon).alias("url_hash"),
+            "authority",
+            "doc_type",
+            "depth",
+            "priority",
+            urls.host_of(F.col("url")).alias("host"),
+            "seq",
+            F.lit("pending").alias("state"),
+            F.lit(0).alias("retry_count"),
+            "title",
+            "release_date",
+            (F.col("doc_hash") if keep_keys else F.lit(None).cast("string")).alias(
+                "doc_hash"
+            ),
+            (F.col("raw_hash") if keep_keys else F.lit(None).cast("string")).alias(
+                "raw_hash"
+            ),
+        )
+
+    # -- full run ---------------------------------------------------------------
+
+    def run(self, max_rounds: int = 1000) -> list[dict]:
+        self.init()
+        stats = []
+        start = (self.last_committed_round() or 0) + 1
+        for r in range(start, start + max_rounds):
+            st = self.round(r)
+            if st is None:
+                break
+            stats.append(st)
+        return stats

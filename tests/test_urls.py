@@ -1,0 +1,83 @@
+"""URL layer: canonicalization + md5 identity key parity (SURVEY.md §2 F7/X1)."""
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from crawler_spark.urls import (
+    canonicalize_one,
+    canonicalize_simple,
+    doc_key,
+    host_of,
+)
+
+
+def test_canonicalize_relative_resolution():
+    # reference: host + href vs absolute passthrough
+    # (pygdpr/models/dpa/edpb/__init__.py:254-257)
+    assert (
+        canonicalize_one("/docs/1.html", "https://www.dsb.gv.at/list?page=1")
+        == "https://www.dsb.gv.at/docs/1.html"
+    )
+    assert (
+        canonicalize_one("http://other.example/x", "https://a.example/")
+        == "http://other.example/x"
+    )
+
+
+def test_canonicalize_normalizes():
+    assert canonicalize_one("HTTPS://WWW.Ex.COM:443/a/../b#frag") == "https://www.ex.com/b"
+    assert canonicalize_one("http://ex.com:80/") == "http://ex.com/"
+    assert canonicalize_one("http://ex.com:8080/x") == "http://ex.com:8080/x"
+    assert canonicalize_one("https://ex.com") == "https://ex.com/"
+
+
+def test_canonicalize_simple_matches_python(spark):
+    urls = [
+        "HTTPS://WWW.Ex.COM/path/One?q=2#frag",
+        "https://ex.com:443/a",
+        "http://ex.com:80/b?x=1",
+        "http://ex.com:8080/keep",
+        "https://host.example/path",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(canonicalize_simple(F.col("url"))).collect()]
+    # simple variant: lowercase scheme+host, strip fragment, drop default port
+    assert got == [
+        "https://www.ex.com/path/One?q=2",
+        "https://ex.com/a",
+        "http://ex.com/b?x=1",
+        "http://ex.com:8080/keep",
+        "https://host.example/path",
+    ]
+
+
+@given(st.text(min_size=1, max_size=80))
+@settings(max_examples=50, deadline=None)
+def test_md5_doc_key_matches_hashlib_property(title):
+    # checked in bulk via Spark below; hashlib is the reference spec
+    assert hashlib.md5(title.encode()).hexdigest() == hashlib.md5(
+        title.encode("utf-8")
+    ).hexdigest()
+
+
+def test_md5_doc_key_spark_matches_hashlib(spark):
+    # X1: md5(title) identity key (pygdpr/models/dpa/austria/__init__.py:99)
+    titles = ["Austria decision 1-1", "Afgørelse om klage nr 2", "ünïcode ✓ title"]
+    df = spark.createDataFrame([(t,) for t in titles], "title string")
+    got = {r["title"]: r["k"] for r in df.select("title", doc_key(F.col("title")).alias("k")).collect()}
+    for t in titles:
+        assert got[t] == hashlib.md5(t.encode("utf-8")).hexdigest()
+
+
+def test_host_of(spark):
+    df = spark.createDataFrame(
+        [("https://WWW.Ex.COM:8080/a/b?c=1",), ("http://cdn.example.eu/f.pdf",)],
+        "url string",
+    )
+    assert [r[0] for r in df.select(host_of(F.col("url"))).collect()] == [
+        "www.ex.com",
+        "cdn.example.eu",
+    ]
