@@ -243,6 +243,8 @@ def generate(
             for pr, a in enumerate(authorities)
         ]
     )
+    seeds["priority"] = seeds["priority"].astype("int32")
+    seeds["politeness_delay_s"] = seeds["politeness_delay_s"].astype("float64")
     robots = pd.DataFrame(
         [
             {

@@ -311,13 +311,23 @@ class CrawlRun:
         )
         new_frontier = updated.unionByName(new_rows)
 
-        log_rows = out.filter(F.col("out_kind") == "log").select(
-            F.lit(round_id).cast("long").alias("batch_id"),
-            "url",
+        # every scheduled row is one fetch attempt (the politeness unit)
+        attempt_status = out.select(
             F.xxhash64(urls.canonicalize_simple(F.col("url"))).alias("url_hash"),
-            urls.host_of(F.col("url")).alias("host"),
             "status",
-            F.length(F.col("content")).cast("long").alias("bytes"),
+            F.length(F.col("text")).cast("long").alias("bytes"),
+        ).dropDuplicates(["url_hash"])
+        log_rows = (
+            scheduled.select("url", "url_hash", "host")
+            .join(attempt_status, "url_hash", "left")
+            .select(
+                F.lit(round_id).cast("long").alias("batch_id"),
+                "url",
+                "url_hash",
+                "host",
+                F.coalesce(F.col("status"), F.lit("miss")).alias("status"),
+                "bytes",
+            )
         )
 
         # -- stats (actions) --------------------------------------------------
