@@ -1,0 +1,403 @@
+"""Corpus operators for large-scale training-data pipelines: dedup,
+fingerprinting, language ID, quality scoring, token counting.
+
+These are the operations a 100 TB webtext pipeline runs *after* the crawl
+(SURVEY.md §2 extension; the reference stops at extraction — e.g. its
+word preproceessing `pygdpr/services/preprocess_words_service.py:3-11`
+and stopword induction `pygdpr/services/dpa_stopwords_service.py:29-105`
+are the closest analogs).  Everything here is expressed with built-in
+Spark SQL functions and higher-order lambdas so the whole stage stays
+inside WholeStageCodegen on the JVM — there are NO Python UDFs in this
+module.  Each function takes a DataFrame with ``(doc_id: long,
+text: string)`` (extra columns pass through untouched unless noted) and
+returns a DataFrame.
+
+Scale notes (100 TB / 1000 executors):
+
+- hashing: every hash is derived from ``md5`` (same bytes on any engine,
+  which is also what makes the DuckDB oracles byte-exact); ``h64`` takes
+  the first 60 bits so values are non-negative longs.
+- exact dedup shuffles on md5(text) — uniformly distributed keys, no
+  skew, map-side partial aggregation applies.
+- shingle-join (n-gram Jaccard) shuffles on the shingle string; at scale
+  common shingles are Zipf-skewed — production runs drop shingles whose
+  document frequency exceeds a cap before the join (a stop-shingle
+  filter), which only *adds* recall loss for pairs that share nothing
+  rare.  The MinHash path below avoids the problem entirely and is the
+  100 TB default.
+- MinHash signatures are a pure projection (zero shuffle); only the
+  ``n_bands`` short band keys per doc are shuffled, so the LSH join
+  moves O(docs * bands * 32B) regardless of text size.
+- SimHash near-dup uses the pigeonhole band trick: hamming <= bands-1 is
+  *guaranteed* to collide on at least one of ``bands`` equal-width bit
+  slices, so candidate generation is an equi-join, never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# -- shared expression fragments (Spark SQL; DuckDB twins live in queries.py) --
+
+#: whitespace tokens of lower-cased text, empties removed
+TOKENS = "filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')"
+
+#: 60-bit non-negative hash of a string, identical on Spark and DuckDB
+def h64(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def shingles_expr(k: int) -> str:
+    """Distinct k-word shingles of ``tokens`` (array<string> column)."""
+    return (
+        "array_distinct(transform(sequence(1, greatest(size(tokens) - "
+        f"{k - 1}, 0)), i -> concat_ws(' ', slice(tokens, i, {k}))))"
+    )
+
+
+def with_tokens(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("tokens", F.expr(TOKENS))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by md5(text): every doc mapped to its canonical doc.
+
+    canonical = min(doc_id) within the hash group (deterministic winner).
+    One hash-shuffle on raw_hash; partial agg map-side.  Output:
+    (doc_id, raw_hash, canonical_id, group_size).
+    """
+    hashed = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("raw_hash")
+    )
+    groups = hashed.groupBy("raw_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").cast("bigint").alias("group_size"),
+    )
+    return hashed.join(groups, "raw_hash").select(
+        "doc_id", "raw_hash", "canonical_id", "group_size"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All pairs with Jaccard(k-shingle sets) >= threshold (exact).
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle, count common, compute |A∩B| / (|A|+|B|-|A∩B|).  Shuffle key
+    is the shingle string.  Output: (doc_a, doc_b, jaccard) with
+    doc_a < doc_b, jaccard rounded to 4.
+    """
+    sh = (
+        with_tokens(docs)
+        .select("doc_id", F.expr(shingles_expr(k)).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 3, n_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, sig: array<string>, sh: array<string>) MinHash signatures.
+
+    sig[i] = min over shingles of md5(i ':' shingle) — min over a
+    hash-ordered permutation, the classic MinHash estimator, done as a
+    single projection (transform over transform): zero shuffle, stays in
+    codegen.  Docs with no shingles (fewer than k tokens) are dropped.
+    """
+    sig = (
+        f"transform(sequence(0, {n_hashes - 1}), i -> "
+        "array_min(transform(sh, s -> md5(concat(cast(i as string), ':', s)))))"
+    )
+    return (
+        with_tokens(docs)
+        .select("doc_id", F.expr(shingles_expr(k)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", F.expr(sig))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    Band key b = md5 of rows [b*r+1 .. b*r+r] of the signature
+    (r = n_hashes / n_bands; the 8x2 default catches Jaccard >= 0.5
+    pairs with ~90% probability per the 1-(1-j^r)^b curve).  Pairs
+    sharing >= 1 band key are
+    candidates; the exact Jaccard filter makes the output precise (LSH
+    only affects recall).  Only (band_idx, band_key, doc_id) rows are
+    shuffled — the signature/shingle arrays are re-joined by doc_id
+    afterwards, so the wide arrays never enter the candidate shuffle.
+    Output: (doc_a, doc_b, jaccard) rounded to 4.
+    """
+    r = n_hashes // n_bands
+    sigs = minhash_signatures(docs, k=k, n_hashes=n_hashes)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> "
+                f"named_struct('band_idx', b, 'band_key', "
+                f"md5(concat_ws('|', slice(sig, b * {r} + 1, {r})))))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_idx", "bk.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "sh")
+    return (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sha", "shb")).cast("bigint"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("sha") + F.size("shb") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash: bigint) — per-token-hash bit-majority SimHash.
+
+    Token multiplicity counts (classic SimHash weights = term
+    frequency).  Pure projection over the token-hash array: per bit,
+    sum +1/-1 votes; bit set iff the sum is positive.
+    """
+    votes = (
+        f"transform(sequence(0, {bits - 1}), b -> case when "
+        "aggregate(hs, cast(0 as bigint), (acc, h) -> acc + "
+        "(shiftright(h, b) & 1) * 2 - 1) > 0 then shiftleft(cast(1 as bigint), b) "
+        "else cast(0 as bigint) end)"
+    )
+    return (
+        with_tokens(docs)
+        .filter(F.size("tokens") > 0)
+        .withColumn("hs", F.expr(f"transform(tokens, w -> {h64('w')})"))
+        .withColumn(
+            "simhash",
+            F.expr(
+                f"aggregate({votes}, cast(0 as bigint), (acc, v) -> acc + v)"
+            ),
+        )
+        .select("doc_id", "simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, bits: int = 32, n_bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: two hashes within hamming distance n_bands-1
+    MUST agree on at least one of n_bands equal bit-slices, so with
+    max_hamming = n_bands - 1 the equi-join on (band_idx, slice value)
+    is complete — no cross join, and recall is exact, not probabilistic.
+    Output: (doc_a, doc_b, hamming:int).
+    """
+    assert max_hamming <= n_bands - 1, "pigeonhole completeness requires it"
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, bits=bits)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> "
+                f"named_struct('band_idx', b, 'band_val', "
+                f"shiftright(simhash, b * {width}) & {mask}))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band_idx", "bk.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("cast(bit_count(a.simhash ^ b.simhash) as int)").alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003 scheme).
+
+    Hash every k-word shingle (rolling window over tokens, order kept,
+    NOT deduped), then keep the minimum hash of every w-long window of
+    consecutive shingle hashes; the distinct set of those minima is the
+    fingerprint.  Projection + explode; shuffle only on the final
+    distinct.  Output: (doc_id, fp: bigint) rows.
+    """
+    kgram = f"concat_ws(' ', slice(tokens, i, {k}))"
+    shingle_hashes = (
+        f"transform(sequence(1, greatest(size(tokens) - {k - 1}, 0)), "
+        f"i -> {h64(kgram)})"
+    )
+    mins = (
+        f"transform(sequence(1, greatest(size(hs) - {w - 1}, 1)), "
+        f"i -> array_min(slice(hs, i, {w})))"
+    )
+    return (
+        with_tokens(docs)
+        .withColumn("hs", F.expr(shingle_hashes))
+        .filter(F.size("hs") > 0)
+        .select("doc_id", F.explode(F.expr(f"array_distinct({mins})")).alias("fp"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "was", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+}
+
+#: a BPE-ish pre-tokenizer: letter runs, digit runs, single other glyphs
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
+PUNCT_RE = "[.,;:!?'\"()\\[\\]{}-]"  # Python-API-level regex (not SQL-escaped)
+
+
+def _lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"size(filter(tokens, t -> array_contains(array({words}), t)))"
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic, 3 languages).
+
+    Deterministic argmax with tie order en > de > fr.  Pure projection.
+    Output: (doc_id, lang_pred, score:bigint).
+    """
+    d = with_tokens(docs)
+    for lang in STOPWORDS:
+        d = d.withColumn(f"s_{lang}", F.expr(_lang_score(lang)).cast("bigint"))
+    return d.select(
+        "doc_id",
+        F.expr(
+            "case when s_en >= s_de and s_en >= s_fr then 'en' "
+            "when s_de >= s_fr then 'de' else 'fr' end"
+        ).alias("lang_pred"),
+        F.greatest("s_en", "s_de", "s_fr").alias("score"),
+    )
+
+
+def quality(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword quality features + one score.
+
+    All built-ins; the score is a bounded monotone blend so it is
+    reproducible in plain SQL.  Output: (doc_id, n_chars, n_tokens,
+    avg_token_len, punct_ratio, stopword_ratio, quality_score).
+    """
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return (
+        with_tokens(docs)
+        .filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.expr(
+                    "aggregate(tokens, cast(0 as bigint), (acc, t) -> acc + length(t))"
+                )
+                / F.size("tokens"),
+                4,
+            ).alias("avg_token_len"),
+            F.round(
+                (
+                    F.length("text")
+                    - F.length(F.regexp_replace("text", PUNCT_RE, ""))
+                )
+                / F.length("text"),
+                4,
+            ).alias("punct_ratio"),
+            F.round(
+                F.expr(f"size(filter(tokens, t -> array_contains(array({en}), t)))")
+                / F.size("tokens"),
+                4,
+            ).alias("stopword_ratio"),
+        )
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+                * (F.lit(1.0) - F.col("punct_ratio")),
+                4,
+            ),
+        )
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace and BPE-ish token counts per doc.
+
+    Output: (doc_id, ws_tokens, bpe_tokens) — both bigint.
+    """
+    return with_tokens(docs).select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("ws_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{BPE_RE}', 0))")
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )

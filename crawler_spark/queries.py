@@ -1,0 +1,806 @@
+"""Query registry: every operator family from SURVEY.md §2 (plus the
+training-data pack) as a (Spark callable, DuckDB oracle SQL) pair.
+
+The Spark side is the engine's idiom — DataFrame API, broadcast hints,
+anti-joins, windows, higher-order functions, Arrow UDF stages — while
+each oracle is plain ANSI-ish SQL DuckDB runs on the same parquet to
+cross-check row count, schema, and an order-insensitive value hash.
+Numeric discipline that makes the hashes byte-stable across engines:
+
+- money/value sums run in DECIMAL (exact), surfaced as rounded doubles;
+- every hash derives from md5 (identical bytes on both engines); 60-bit
+  integer hashes are ``int(md5_hex[:15], 16)`` on both sides;
+- similarities are rounded to 6 decimals BEFORE ranking; all ranking
+  orders carry a unique tie-break column;
+- timestamps compare in integer microseconds (unix_micros/epoch_us).
+
+Relational crawl-pattern queries run over the driver's TPC-H-ish tables
+and mirror the crawl engine's plan shapes one-to-one: the anti-join is
+P3's seen-filter (frontier.py admit_candidates), the per-key top-k
+window is R1's politeness token bucket (frontier.py schedule), the
+union+distinct is F1-F4 frontier expansion, the date filter is P1
+retention, the global row_number is the ORDER BY seq crawl replay
+(SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import corpus, multimodal, similarity, streaming
+
+# -- DuckDB-side twins of the Spark expression fragments --------------------
+
+DUCK_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
+
+
+def duck_h64(x: str) -> str:
+    return f"cast(('0x' || substr(md5({x}), 1, 15)) as bigint)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# Relational crawl-pattern queries (TPC-H-ish tables)
+# ===========================================================================
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shape scan+agg: partial/final hash aggregate, pushdown."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double") / F.count("*"), 4
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+  cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) AS sum_disc_price,
+  round(cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """P3 seen-filter shape: left-anti join (customers with no recent order)."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return cust.join(
+        recent.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ORACLE_SEEN_ANTIJOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= timestamp '2001-01-01')
+"""
+
+
+def q_politeness_topk(spark, sf_dir):
+    """R1 token-bucket shape: top-3 rows per key by (date, key) window."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+ORACLE_POLITENESS = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+    cast(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) as bigint) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def q_retention_window(spark, sf_dir):
+    """P1 date-window retention + per-month metrics rollup."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    return (
+        orders.groupBy(
+            F.date_format(
+                F.trunc(F.col("o_orderdate").cast("date"), "month"), "yyyy-MM"
+            ).alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+ORACLE_RETENTION = """
+SELECT strftime(date_trunc('month', cast(o_orderdate as date)), '%Y-%m') AS month,
+  count(*) AS n_orders,
+  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+FROM orders
+WHERE o_orderdate >= timestamp '1997-01-01' AND o_orderdate < timestamp '1999-01-01'
+GROUP BY 1
+"""
+
+
+def q_dup_key_suffix(spark, sf_dir):
+    """P4 duplicate-key suffixing: row_number over the raw key (documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("raw_hash").orderBy("doc_id")
+    return (
+        docs.select("doc_id", F.md5("text").alias("raw_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "raw_hash",
+            F.when(F.col("rn") == 1, F.col("raw_hash"))
+            .otherwise(F.concat("raw_hash", F.lit("-"), F.col("rn").cast("string")))
+            .alias("final_key"),
+        )
+    )
+
+
+ORACLE_DUP_KEY = """
+SELECT doc_id, raw_hash,
+  CASE WHEN rn = 1 THEN raw_hash
+       ELSE raw_hash || '-' || cast(rn as varchar) END AS final_key
+FROM (SELECT doc_id, md5(text) AS raw_hash,
+        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents)
+"""
+
+
+def q_frontier_union_dedupe(spark, sf_dir):
+    """F1-F4 expansion shape: union of candidate sets + exact dedupe."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    b = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    return a.unionByName(b).distinct()
+
+
+ORACLE_UNION = """
+SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+"""
+
+
+def q_broadcast_dim_metrics(spark, sf_dir):
+    """Authority-dim shape: broadcast dim join + grouped metrics."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = nation.join(
+        region, nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name", "r_name")
+    return (
+        cust.join(F.broadcast(dim), cust["c_nationkey"] == dim["n_nationkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_acctbal"),
+        )
+    )
+
+
+ORACLE_BROADCAST_DIM = """
+SELECT r_name, n_name, count(*) AS n_customers,
+  round(cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(*), 4) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_crawl_order_replay(spark, sf_dir):
+    """ORDER BY seq replay (SURVEY.md §3.3): total order over events.
+
+    At engine scale seq is *assigned* arithmetically at expansion time
+    (frontier.py) so no global sort is ever needed to define the order —
+    this query is the replay/verification view of that order.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", F.row_number().over(w).cast("bigint").alias("seq")
+    )
+
+
+ORACLE_REPLAY = """
+SELECT event_id, cast(row_number() OVER (ORDER BY ts, event_id) as bigint) AS seq
+FROM events
+"""
+
+
+def q_skew_salted_agg(spark, sf_dir):
+    """Hot-key skew kill: salted two-stage aggregation (SURVEY.md §4.1).
+
+    Same result as a plain groupBy — the salt only splits reducer load;
+    the oracle is the unsalted SQL.
+    """
+    ev = _t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(8)))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.round(F.sum("s").cast("double"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_SALTED = """
+SELECT user_id, cast(count(*) as bigint) AS n_events,
+  round(cast(sum(cast(value as decimal(18,2))) as double), 2) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_windowed_agg(spark, sf_dir):
+    """Streaming twin: tumbling 1h windowed aggregation (streaming.py)."""
+    out = streaming.windowed_counts_batch(_t(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLE_WINDOWED = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+  count(*) AS n_events,
+  round(cast(sum(cast(value as decimal(18,2))) as double), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (streaming.py batch twin)."""
+    out = streaming.sessionize_batch(_t(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.unix_micros(F.col("session_start").cast("timestamp_ltz")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp_ltz")).alias("end_us"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+    cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) as bigint) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_frontier_schedule_sim(spark, sf_dir):
+    """FLAGSHIP: the crawl scheduler's full plan shape on public tables.
+
+    pending (P1 retention filter) -> anti-join vs seen (P3) -> per-host
+    politeness top-k (R1 token bucket) — the exact stage order
+    rounds.py runs, with customers standing in for hosts.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    pending = orders.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    seen = (
+        orders.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        pending.join(seen, "o_custkey", "left_anti")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            F.col("o_custkey").alias("host"),
+            "o_orderkey",
+            "rnk",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("scheduled_at"),
+        )
+    )
+
+
+ORACLE_SCHEDULE_SIM = """
+WITH pending AS (
+  SELECT * FROM orders WHERE o_orderdate >= timestamp '1999-01-01'
+), seen AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < timestamp '1996-01-01'
+), sched AS (
+  SELECT p.o_custkey, p.o_orderkey, p.o_orderdate,
+    cast(row_number() OVER (PARTITION BY p.o_custkey ORDER BY p.o_orderdate, p.o_orderkey) as bigint) AS rnk
+  FROM pending p WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.o_custkey = p.o_custkey))
+SELECT o_custkey AS host, o_orderkey, rnk,
+  strftime(cast(o_orderdate as date), '%Y-%m-%d') AS scheduled_at
+FROM sched WHERE rnk <= 2
+"""
+
+
+# ===========================================================================
+# Training-data pack: documents
+# ===========================================================================
+
+
+def q_dedup_exact(spark, sf_dir):
+    return corpus.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+WITH h AS (SELECT doc_id, md5(text) AS raw_hash FROM documents),
+g AS (SELECT raw_hash, min(doc_id) AS canonical_id, count(*) AS group_size
+      FROM h GROUP BY raw_hash)
+SELECT h.doc_id, h.raw_hash, g.canonical_id, g.group_size
+FROM h JOIN g USING (raw_hash)
+"""
+
+_DUCK_SHINGLES3 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(tokens) - 2, 0)),"
+    " i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))"
+)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return corpus.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents),
+s AS (SELECT doc_id, {_DUCK_SHINGLES3} AS sh FROM t),
+s2 AS (SELECT doc_id, sh, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s2),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+    round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+  FROM common
+  JOIN s2 sa ON sa.doc_id = doc_a
+  JOIN s2 sb ON sb.doc_id = doc_b)
+WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return corpus.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=3, n_hashes=16, n_bands=8, threshold=0.5
+    )
+
+
+ORACLE_MINHASH = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents),
+s AS (SELECT doc_id, {_DUCK_SHINGLES3} AS sh FROM t),
+s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+sig AS (
+  SELECT doc_id, sh,
+    list_transform(generate_series(0, 15), i ->
+      list_aggregate(list_transform(sh, x -> md5(cast(i as varchar) || ':' || x)), 'min')) AS sig
+  FROM s2),
+bands AS (
+  SELECT doc_id, g.b AS band_idx,
+    md5(array_to_string(list_slice(sig, g.b * 2 + 1, g.b * 2 + 2), '|')) AS band_key
+  FROM sig, generate_series(0, 7) AS g(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id),
+j AS (
+  SELECT doc_a, doc_b,
+    len(list_intersect(sa.sh, sb.sh)) AS n_common,
+    len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand JOIN s2 sa ON sa.doc_id = doc_a JOIN s2 sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b, round(n_common / (na + nb - n_common), 4) AS jaccard FROM j)
+WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return corpus.simhash_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, n_bands=4, max_hamming=3
+    )
+
+
+ORACLE_SIMHASH = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents),
+h AS (SELECT doc_id, list_transform(tokens, w -> {duck_h64('w')}) AS hs
+      FROM t WHERE len(tokens) > 0),
+sh AS (
+  SELECT doc_id, cast(list_aggregate(list_transform(generate_series(0, 31), b ->
+    CASE WHEN list_aggregate(list_transform(hs, x -> ((x >> b) & 1) * 2 - 1), 'sum') > 0
+         THEN (cast(1 as bigint) << b) ELSE cast(0 as bigint) END), 'sum') as bigint) AS simhash
+  FROM h),
+bands AS (
+  SELECT doc_id, simhash, g.b AS band_idx, (simhash >> (g.b * 8)) & 255 AS band_val
+  FROM sh, generate_series(0, 3) AS g(b))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hamming
+FROM bands a JOIN bands b USING (band_idx, band_val)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    return corpus.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
+
+
+_DUCK_KGRAM5 = (
+    "tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] || ' ' || "
+    "tokens[i+3] || ' ' || tokens[i+4]"
+)
+
+ORACLE_FINGERPRINTS = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents),
+h AS (SELECT doc_id,
+        list_transform(generate_series(1, greatest(len(tokens) - 4, 0)),
+          i -> {duck_h64(_DUCK_KGRAM5)}) AS hs
+      FROM t),
+f AS (SELECT doc_id,
+        list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+          i -> list_aggregate(list_slice(hs, i, i + 3), 'min'))) AS fps
+      FROM h WHERE len(hs) > 0)
+SELECT doc_id, unnest(fps) AS fp FROM f
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    return corpus.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _duck_stop(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in corpus.STOPWORDS[lang])
+    return (
+        f"cast(len(list_filter(tokens, x -> list_contains([{words}], x))) as bigint)"
+    )
+
+
+ORACLE_LANGID = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents),
+s AS (SELECT doc_id, {_duck_stop('en')} AS s_en, {_duck_stop('de')} AS s_de,
+        {_duck_stop('fr')} AS s_fr FROM t)
+SELECT doc_id,
+  CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred,
+  greatest(s_en, s_de, s_fr) AS score
+FROM s
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    return corpus.quality(_t(spark, sf_dir, "documents"))
+
+
+_DUCK_EN = ", ".join(f"'{w}'" for w in corpus.STOPWORDS["en"])
+
+ORACLE_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {DUCK_TOKENS} AS tokens FROM documents),
+q AS (
+  SELECT doc_id,
+    cast(length(text) as bigint) AS n_chars,
+    cast(len(tokens) as bigint) AS n_tokens,
+    round(list_aggregate(list_transform(tokens, x -> length(x)), 'sum') / len(tokens), 4) AS avg_token_len,
+    round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / length(text), 4) AS punct_ratio,
+    round(len(list_filter(tokens, x -> list_contains([{_DUCK_EN}], x))) / len(tokens), 4) AS stopword_ratio
+  FROM t WHERE len(tokens) > 0)
+SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+  round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio), 4) AS quality_score
+FROM q
+"""
+
+
+def q_text_tokens(spark, sf_dir):
+    return corpus.token_stats(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKENS = f"""
+SELECT doc_id,
+  cast(len({DUCK_TOKENS}) as bigint) AS ws_tokens,
+  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as bigint) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_statistics(spark, sf_dir):
+    """A1 statistics + A8 read time (SURVEY.md §2.5), pure projection."""
+    docs = corpus.with_tokens(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size("tokens").cast("bigint").alias("n_words"),
+        F.round(F.size("tokens") / F.lit(265.0), 4).alias("est_read_time_min"),
+        F.expr("cast(ceil(length(text) / 3000.0) as bigint)").alias("page_count"),
+    )
+
+
+ORACLE_DOC_STATS = f"""
+SELECT doc_id, cast(length(text) as bigint) AS n_chars,
+  cast(len({DUCK_TOKENS}) as bigint) AS n_words,
+  round(len({DUCK_TOKENS}) / 265.0, 4) AS est_read_time_min,
+  cast(ceil(length(text) / 3000.0) as bigint) AS page_count
+FROM documents
+"""
+
+
+def q_stopword_topk(spark, sf_dir):
+    """A9 stopword induction: per-source word counts -> top-5 window."""
+    docs = _t(spark, sf_dir, "documents")
+    words = corpus.with_tokens(docs).select(
+        "source", F.explode("tokens").alias("word")
+    )
+    counts = words.groupBy("source", "word").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "word", "n", "rnk")
+    )
+
+
+ORACLE_STOPWORDS = f"""
+WITH t AS (SELECT source, {DUCK_TOKENS} AS tokens FROM documents),
+w AS (SELECT source, unnest(tokens) AS word FROM t),
+c AS (SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2)
+SELECT source, word, n, rnk FROM (
+  SELECT source, word, n,
+    cast(row_number() OVER (PARTITION BY source ORDER BY n DESC, word) as bigint) AS rnk
+  FROM c) WHERE rnk <= 5
+"""
+
+
+# ===========================================================================
+# Training-data pack: embeddings
+# ===========================================================================
+
+_DUCK_NORM = (
+    "sqrt(list_aggregate(list_transform(generate_series(1, len({v})), "
+    "i -> {v}[i]::DOUBLE * {v}[i]::DOUBLE), 'sum'))"
+)
+_DUCK_DOT = (
+    "list_aggregate(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')"
+)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+ORACLE_ANN_BRUTE = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_DUCK_NORM.format(v='embedding')} AS norm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, norm AS qnorm
+      FROM base WHERE vec_id < 5),
+c AS (SELECT * FROM base WHERE vec_id >= 5),
+scored AS (
+  SELECT query_id, vec_id,
+    round({_DUCK_DOT.format(a='qvec', b='embedding')} / (qnorm * norm), 6) AS cosine
+  FROM c CROSS JOIN q)
+SELECT query_id, vec_id, rank, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+    cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) as bigint) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    return similarity.lsh_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=5, k=5, n_bits=8
+    )
+
+
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+ORACLE_ANN_LSH = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_DUCK_NORM.format(v='embedding')} AS norm,
+    cast({_DUCK_BUCKET} as bigint) AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, norm AS qnorm, bucket AS qbucket
+      FROM base WHERE vec_id < 5),
+c AS (SELECT * FROM base WHERE vec_id >= 5),
+scored AS (
+  SELECT query_id, vec_id,
+    round({_DUCK_DOT.format(a='qvec', b='embedding')} / (qnorm * norm), 6) AS cosine
+  FROM c JOIN q ON c.bucket = q.qbucket)
+SELECT query_id, vec_id, rank, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+    cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) as bigint) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+def q_emb_neardup(spark, sf_dir):
+    return similarity.neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+ORACLE_EMB_NEARDUP = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_DUCK_NORM.format(v='embedding')} AS norm
+  FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 6) AS cosine
+  FROM base a JOIN base b ON a.vec_id < b.vec_id)
+WHERE cosine >= 0.4
+"""
+
+
+# ===========================================================================
+# Multimodal plumbing + crawl end-to-end (pandas-UDF stages)
+# ===========================================================================
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched binary decode plumbing (deterministic fake geometry)."""
+    media = multimodal.docs_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_stats(media)
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id, 'doc' AS kind,
+  cast(octet_length(encode(text)) as bigint) AS n_bytes,
+  md5(text) AS checksum,
+  cast(('0x' || substr(md5(text), 1, 15)) as bigint) % 640 + 1 AS width,
+  cast(('0x' || substr(reverse(md5(text)), 1, 15)) as bigint) % 480 + 1 AS height
+FROM documents
+"""
+
+
+def q_crawl_mini(spark, sf_dir):
+    """End-to-end mini crawl over deterministic fixtures (rows-only check).
+
+    Runs the full engine loop (expand -> dedupe -> schedule ->
+    fetch/extract -> append) on the sf0.001 fixture web; the pytest
+    suite separately asserts this equals the sequential oracle
+    byte-for-byte (tests/test_e2e_crawl.py).
+    """
+    from . import fixtures
+    from .rounds import CrawlRun
+
+    fix = fixtures.fixture_dir("sf0.001")
+    state = tempfile.mkdtemp(prefix="crawl_mini_")
+    run = CrawlRun(
+        spark,
+        state_dir=state,
+        pages_path=f"{fix}/pages.parquet",
+        seeds_path=f"{fix}/seeds.parquet",
+        robots_path=f"{fix}/robots.parquet",
+        as_of=fixtures.AS_OF,
+        use_bloom=False,
+    )
+    run.run(max_rounds=12)
+    return (
+        run.documents.read(spark)
+        .select("doc_hash", "authority", "url", "seq")
+        .orderBy("seq")
+    )
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
+
+QUERIES = {
+    "frontier_schedule_sim": q_frontier_schedule_sim,
+    "pricing_summary": q_pricing_summary,
+    "seen_antijoin": q_seen_antijoin,
+    "politeness_topk": q_politeness_topk,
+    "retention_window": q_retention_window,
+    "dup_key_suffix": q_dup_key_suffix,
+    "frontier_union_dedupe": q_frontier_union_dedupe,
+    "broadcast_dim_metrics": q_broadcast_dim_metrics,
+    "crawl_order_replay": q_crawl_order_replay,
+    "skew_salted_agg": q_skew_salted_agg,
+    "windowed_agg": q_windowed_agg,
+    "sessionize": q_sessionize,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "fingerprints": q_fingerprints,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "doc_statistics": q_doc_statistics,
+    "stopword_topk": q_stopword_topk,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh": q_ann_lsh,
+    "emb_neardup": q_emb_neardup,
+    "multimodal_decode": q_multimodal_decode,
+    "crawl_mini": q_crawl_mini,
+}
+
+ORACLES = {
+    "frontier_schedule_sim": ORACLE_SCHEDULE_SIM,
+    "pricing_summary": ORACLE_PRICING,
+    "seen_antijoin": ORACLE_SEEN_ANTIJOIN,
+    "politeness_topk": ORACLE_POLITENESS,
+    "retention_window": ORACLE_RETENTION,
+    "dup_key_suffix": ORACLE_DUP_KEY,
+    "frontier_union_dedupe": ORACLE_UNION,
+    "broadcast_dim_metrics": ORACLE_BROADCAST_DIM,
+    "crawl_order_replay": ORACLE_REPLAY,
+    "skew_salted_agg": ORACLE_SALTED,
+    "windowed_agg": ORACLE_WINDOWED,
+    "sessionize": ORACLE_SESSIONIZE,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_simhash": ORACLE_SIMHASH,
+    "fingerprints": ORACLE_FINGERPRINTS,
+    "text_langid": ORACLE_LANGID,
+    "text_quality": ORACLE_QUALITY,
+    "text_tokens": ORACLE_TOKENS,
+    "doc_statistics": ORACLE_DOC_STATS,
+    "stopword_topk": ORACLE_STOPWORDS,
+    "ann_cosine_topk": ORACLE_ANN_BRUTE,
+    "ann_lsh": ORACLE_ANN_LSH,
+    "emb_neardup": ORACLE_EMB_NEARDUP,
+    "multimodal_decode": ORACLE_MULTIMODAL,
+    # crawl_mini: intentionally no oracle (fixtures are not DuckDB views);
+    # its ground truth is the sequential oracle in tests/test_e2e_crawl.py.
+}

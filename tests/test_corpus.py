@@ -1,0 +1,88 @@
+"""Semantic tests for the corpus dedup/analysis operators (planted
+duplicates — independent of the DuckDB-oracle parity suite)."""
+
+import pytest
+
+from crawler_spark import corpus
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden all day"
+)
+NEAR = BASE.replace("warm windowsill", "cold doorstep")  # small edit
+OTHER = (
+    "completely different content about distributed query engines and "
+    "shuffle partitioning strategies for very large analytical workloads"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["doc_id"]: r for r in corpus.exact_dedup(docs).collect()}
+    assert out[0]["canonical_id"] == 0 and out[1]["canonical_id"] == 0
+    assert out[0]["group_size"] == 2
+    assert out[2]["canonical_id"] == 2 and out[3]["group_size"] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in corpus.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc
+
+
+def test_minhash_lsh_recovers_exact_and_near(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in corpus.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # identical minhash bands on >=1 band
+
+
+def test_simhash_identical_and_near(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in corpus.simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    assert ham <= 6  # near dup is close in hamming space
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in corpus.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_winnow_fingerprint_overlap(docs):
+    fps = corpus.winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] == by_doc[1]
+    inter = len(by_doc[0] & by_doc[2]) / len(by_doc[0] | by_doc[2])
+    assert inter > 0.3  # shared fingerprints survive the edit
+    assert not (by_doc[0] & by_doc[3])
+
+
+def test_lang_id_and_quality(spark):
+    rows = [
+        (0, "the cat is on the mat and the dog is in the house"),
+        (1, "der hund ist nicht mit der katze und das ist gut"),
+        (2, "le chat est dans la maison et les oiseaux pour une fois"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    langs = {r["doc_id"]: r["lang_pred"] for r in corpus.lang_id(df).collect()}
+    assert langs == {0: "en", 1: "de", 2: "fr"}
+    q = {r["doc_id"]: r for r in corpus.quality(df).collect()}
+    assert q[0]["punct_ratio"] == 0.0
+    assert 0 < q[0]["stopword_ratio"] < 1
+    ts = {r["doc_id"]: r for r in corpus.token_stats(df).collect()}
+    assert ts[0]["ws_tokens"] == 13
+    assert ts[0]["bpe_tokens"] == 13  # no punctuation -> equal counts

@@ -1,0 +1,53 @@
+"""Semantic tests for ANN/similarity over a constructed embedding set."""
+
+import math
+
+import pytest
+
+from crawler_spark import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # vec 0 (query) has a near-clone at id 10, an opposite at id 11,
+    # and orthogonal-ish noise elsewhere; dim 8
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = [1, -0.2, 0.3, -0.4, 1, -0.5, 0.6, -0.7]
+    clone = [1.02, -0.21, 0.29, -0.41, 0.98, -0.49, 0.61, -0.69]
+    rows = [
+        (0, unit(base)),
+        (10, unit(clone)),  # near clone, same sign pattern
+        (11, unit([-x for x in base])),  # opposite
+        (12, unit([-0.1, 1, -0.2, 0.5, -0.3, 1, -0.4, 0.2])),
+        (13, unit([0.2, -0.3, -1, 1, 0.1, -0.2, -1, 1])),
+        (14, unit([1, 1, 1, 1, 1, 1, 1, 1])),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_order(emb):
+    out = similarity.cosine_topk(emb, n_queries=1, k=5).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 10  # clone first
+    assert ranked[-1] == 11  # opposite last
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["cosine"] > 0.99
+
+
+def test_lsh_bucket_contains_clone(emb):
+    out = similarity.lsh_topk(emb, n_queries=1, k=5, n_bits=8).collect()
+    ids = {r["vec_id"] for r in out}
+    assert 10 in ids  # same sign pattern -> same bucket
+    assert 11 not in ids  # opposite signs -> different bucket
+
+
+def test_neardup_pairs_threshold(emb):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.neardup_pairs(emb, threshold=0.95).collect()
+    }
+    assert (0, 10) in pairs
+    assert all(c >= 0.95 for c in pairs.values())
