@@ -129,6 +129,17 @@ REGISTRY: dict[str, dict] = {
 
 GDPR_DATE = date(2018, 5, 25)  # pygdpr/policies/gdpr_policy.py:3-5
 
+
+def cfg_of(authority: str) -> dict:
+    """Registry lookup that resolves clone names (``austria_7`` ->
+    ``austria``) so wide synthetic frontiers (bench fixtures with
+    hundreds of hosts) reuse the 5 base behavior profiles."""
+    if authority not in REGISTRY and "_" in authority:
+        head, _, tail = authority.rpartition("_")
+        if tail.isdigit() and head in REGISTRY:
+            return REGISTRY[head]
+    return REGISTRY[authority]
+
 _ORDINAL_RE = re.compile(r"(\d+)(st|nd|rd|th)")
 
 
@@ -138,7 +149,7 @@ def parse_date_str(authority: str, s: str) -> date | None:
     if s is None:
         return None
     s = s.strip()
-    fmt = REGISTRY[authority]["date_format"]
+    fmt = cfg_of(authority)["date_format"]
     if fmt.startswith("ordinal "):
         s = _ORDINAL_RE.sub(r"\1", s)
         fmt = fmt[len("ordinal "):]
@@ -158,7 +169,7 @@ def retained(authority: str, d: date | None, as_of: date) -> bool:
     """
     if d is None:
         return False
-    if REGISTRY[authority]["retention"] == "year2018":
+    if cfg_of(authority)["retention"] == "year2018":
         return d.year >= 2018
     delta = as_of - GDPR_DATE
     return (as_of - delta) <= d <= (as_of + delta)
@@ -177,7 +188,7 @@ def parse_listing(authority: str, page_url: str, html_text: str) -> dict:
     [(abs_href, page_no|None)]} in DOM document order (the order the
     reference's for-loops see — SURVEY.md §3.3).
     """
-    cfg = REGISTRY[authority]
+    cfg = cfg_of(authority)
     root = parse_html(html_text)
     items: list[tuple[str, str, str]] = []
     for el in root.select(cfg["listing_item_selector"]):
@@ -215,7 +226,7 @@ def parse_docpage(authority: str, page_url: str, html_text: str) -> dict:
     Text = bs4-style ``get_text()`` of the per-authority body container
     with the reference's lstrip/strip variant (X2 citations).
     """
-    cfg = REGISTRY[authority]
+    cfg = cfg_of(authority)
     root = parse_html(html_text)
     body = root.select_one(cfg["body_selector"])
     text = body.get_text() if body is not None else root.get_text()
@@ -374,10 +385,16 @@ def make_fetch_extract(as_of: date):
     §4.4).
     """
 
+    cols = [f.name for f in EXTRACT_OUT.fields]
+    FLUSH_ROWS = 512  # bound worker memory: stream output, don't batch it
+
     def fetch_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
             for r in pdf.itertuples(index=False):
+                if len(rows) >= FLUSH_ROWS:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
                 base = {
                     "parent_url": r.url,
                     "authority": r.authority,
@@ -515,9 +532,7 @@ def make_fetch_extract(as_of: date):
                             "status": status,
                         }
                     )
-            cols = [f.name for f in EXTRACT_OUT.fields]
-            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
-                columns=cols
-            )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return fetch_extract

@@ -44,6 +44,19 @@ HOSTS = {
     "italy": "www.garanteprivacy.it",
 }
 
+def host_for(a: str) -> str:
+    """Host of an authority; clone authorities get their own host so the
+    wide bench frontier is genuinely multi-host (one chain per host)."""
+    h = HOSTS.get(a)
+    return h if h else f"www.{a.replace('_', '-')}.example.eu"
+
+
+def wide_authorities(width: int) -> tuple[str, ...]:
+    """width clones of each base authority -> 5*width crawl chains."""
+    base = ("austria", "ireland", "denmark", "finland", "italy")
+    return tuple(f"{a}_{i}" for i in range(width) for a in base)
+
+
 _BOILER_HEAD = (
     "<html><head><title>{t}</title></head><body>"
     "<nav>Home | About | Contact</nav>"
@@ -51,7 +64,7 @@ _BOILER_HEAD = (
 _BOILER_FOOT = "<footer>(c) 2024 Example DPA</footer></body></html>"
 
 
-def _para_text(authority: str, p: int, i: int) -> str:
+def _para_text(authority: str, p: int, i: int, pad_lines: int = 0) -> str:
     h = hashlib.md5(f"{authority}/{p}/{i}".encode()).hexdigest()
     lines = [
         f"Decision {p}-{i} of the {authority} supervisory authority.",
@@ -59,6 +72,14 @@ def _para_text(authority: str, p: int, i: int) -> str:
         "  Article 5(1)(a) and Article 6 GDPR were infringed.",
         f"A fine of EUR {int(h[:6], 16) % 900000 + 1000} was imposed.",
     ]
+    # pad_lines grows the document body deterministically (scale profiles:
+    # realistic 10-20 KB decision pages instead of 0.4 KB toys)
+    for j in range(pad_lines):
+        lines.append(
+            f"Paragraph {j}: the supervisory authority considered finding "
+            f"{h[j % 24 : j % 24 + 8]} in conjunction with recital {j % 173} "
+            "of the GDPR and the controller's submissions thereon."
+        )
     return "\n".join(lines)
 
 
@@ -69,7 +90,7 @@ def _doc_date(authority: str, p: int, i: int) -> date:
 
 
 def _fmt(authority: str, d: date) -> str:
-    fmt = X.REGISTRY[authority]["date_format"]
+    fmt = X.cfg_of(authority)["date_format"]
     if fmt.startswith("ordinal "):
         day = d.day
         sfx = "th" if 11 <= day % 100 <= 13 else {1: "st", 2: "nd", 3: "rd"}.get(day % 10, "th")
@@ -80,18 +101,18 @@ def _fmt(authority: str, d: date) -> str:
 def _title(authority: str, p: int, i: int) -> str:
     # denmark gets deliberate duplicate titles to hit the hash+'-'+date /
     # same-date-skip rules (pygdpr/models/dpa/denmark/__init__.py:135-140)
-    if authority == "denmark" and i >= 3:
+    if authority.startswith("denmark") and i >= 3:
         return f"Afgørelse om klage nr {i % 3}"
     return f"{authority.title()} decision {p}-{i}"
 
 
 def list_url(a: str, k: int) -> str:
-    return f"https://{HOSTS[a]}/{a}/list?page={k}"
+    return f"https://{host_for(a)}/{a}/list?page={k}"
 
 
 def doc_url(a: str, p: int, i: int) -> str:
     priv = "private/" if (a == "finland" and i % 7 == 0) else "docs/"
-    return f"https://{HOSTS[a]}/{a}/{priv}{p}-{i}.html"
+    return f"https://{host_for(a)}/{a}/{priv}{p}-{i}.html"
 
 
 def file_url(a: str, p: int, i: int, j: int) -> str:
@@ -99,27 +120,28 @@ def file_url(a: str, p: int, i: int, j: int) -> str:
 
 
 def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
-    cfg = X.REGISTRY[a]
+    cfg = X.cfg_of(a)
     rows = []
     for i in range(1, n_items + 1):
         t, d, href = _title(a, k, i), _fmt(a, _doc_date(a, k, i)), doc_url(a, k, i)
-        if a == "austria":
+        b = a.rsplit("_", 1)[0] if a not in HOSTS else a
+        if b == "austria":
             rows.append(
                 f'<tr class="bocListDataRow"><td>{k}</td>'
                 f'<td><a class="title" href="{href}">{t}</a></td>'
                 f'<td><span class="date">{d}</span></td></tr>'
             )
-        elif a == "ireland":
+        elif b == "ireland":
             rows.append(
                 f'<li><article><h2><a href="{href}">{t}</a></h2>'
                 f'<p class="date">{d}</p></article></li>'
             )
-        elif a == "denmark":
+        elif b == "denmark":
             rows.append(
                 f'<div class="item"><a class="item-title" href="{href}">{t}</a>'
                 f'<span class="date">{d}</span></div>'
             )
-        elif a == "finland":
+        elif b == "finland":
             rows.append(
                 f'<li class="list__item"><a class="result-link" href="{href}">{t}</a>'
                 f'<span class="date">{d}</span></li>'
@@ -135,7 +157,7 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
         "denmark": '<div class="ajaxhost"><div class="items">{r}</div></div>',
         "finland": '<ul class="results">{r}</ul>',
         "italy": '<div class="posts">{r}</div>',
-    }[a].format(r="".join(rows))
+    }[b].format(r="".join(rows))
     pager = ""
     if cfg["pagination"] == "next" and k < n_pages:
         pager = f'<ul class="Pages"><li class="next"><a href="{list_url(a, k + 1)}">Next</a></li></ul>'
@@ -151,9 +173,9 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
     return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
 
 
-def _docpage_html(a: str, p: int, i: int, n_files: int) -> str:
-    cfg = X.REGISTRY[a]
-    text = _para_text(a, p, i)
+def _docpage_html(a: str, p: int, i: int, n_files: int, pad_lines: int = 0) -> str:
+    cfg = X.cfg_of(a)
+    text = _para_text(a, p, i, pad_lines)
     paras = "".join(f"<p>{ln}</p>" for ln in text.split("\n"))
     sel = cfg["body_selector"]
     tag_class = sel.split(".")[-1] if "." in sel else sel
@@ -174,20 +196,49 @@ def _docpage_html(a: str, p: int, i: int, n_files: int) -> str:
     )
 
 
+_PAGES_ARROW = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+
 def generate(
     out_dir: str,
     n_pages: int = 3,
     n_items: int = 4,
     n_files: int = 2,
     authorities: tuple[str, ...] = ("austria", "ireland", "denmark", "finland", "italy"),
+    doc_pad_lines: int = 0,
+    ground_truth: bool = True,
 ) -> dict[str, str]:
     """Write pages/seeds/robots parquet under out_dir; returns paths.
 
     Idempotent per (out_dir) — regenerating overwrites deterministically.
+    ``doc_pad_lines`` fattens document bodies (scale profiles);
+    ``ground_truth=False`` skips the per-page oracle text (bench-only
+    fixtures where the correctness oracle is not run — generation would
+    otherwise pay one full parse per page).  Pages stream to the parquet
+    writer in chunks so multi-GB fixtures never sit in one DataFrame.
     """
     os.makedirs(out_dir, exist_ok=True)
     base_ts = datetime(2024, 1, 10, tzinfo=timezone.utc)
     pages: list[dict] = []
+    pages_path = os.path.join(out_dir, "pages.parquet")
+    writer = pq.ParquetWriter(pages_path, _PAGES_ARROW)
+
+    def flush(force: bool = False):
+        if pages and (force or len(pages) >= 4_000):
+            writer.write_table(
+                pa.Table.from_pandas(
+                    pd.DataFrame(pages), schema=_PAGES_ARROW, preserve_index=False
+                )
+            )
+            pages.clear()
 
     def add(url: str, html: bytes | None, text: str | None, lang: str, off: int):
         pages.append(
@@ -202,16 +253,16 @@ def generate(
 
     off = 0
     for a in authorities:
-        lang = X.REGISTRY[a]["lang"]
+        lang = X.cfg_of(a)["lang"]
         for k in range(1, n_pages + 1):
             add(list_url(a, k), _listing_html(a, k, n_pages, n_items).encode(), None, lang, off)
             off += 1
             for i in range(1, n_items + 1):
-                has_files = bool(X.REGISTRY[a]["depth2_selector"]) and (i % 2 == 1)
+                has_files = bool(X.cfg_of(a)["depth2_selector"]) and (i % 2 == 1)
                 nf = n_files if has_files else 0
-                html = _docpage_html(a, k, i, nf)
+                html = _docpage_html(a, k, i, nf, doc_pad_lines)
                 gt = None
-                if nf == 0:
+                if nf == 0 and ground_truth:
                     # ground truth = the same extraction the engine must hit
                     gt = X.parse_docpage(a, doc_url(a, k, i), html)["text"]
                 add(doc_url(a, k, i), html.encode(), gt, lang, off)
@@ -226,10 +277,12 @@ def generate(
                         off,
                     )
                     off += 1
+            flush()
     # a few 404s: urls referenced nowhere + one listing gap is not needed;
     # misses are exercised by the robots-blocked private/ pages which we
     # deliberately do NOT store for finland page-1 (fetch join miss).
-    pages_pdf = pd.DataFrame(pages)
+    flush(force=True)
+    writer.close()
 
     seeds = pd.DataFrame(
         [
@@ -238,7 +291,7 @@ def generate(
                 "doc_type": "Decisions",
                 "url": list_url(a, 1),
                 "priority": pr,
-                "politeness_delay_s": X.REGISTRY[a]["politeness_delay_s"],
+                "politeness_delay_s": X.cfg_of(a)["politeness_delay_s"],
             }
             for pr, a in enumerate(authorities)
         ]
@@ -256,8 +309,8 @@ def generate(
         ]
     )
 
-    paths = {}
-    for name, pdf in (("pages", pages_pdf), ("seeds", seeds), ("robots", robots)):
+    paths = {"pages": pages_path}
+    for name, pdf in (("seeds", seeds), ("robots", robots)):
         path = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
         paths[name] = path
@@ -271,14 +324,54 @@ SF_PROFILES = {
     "sf0.1": (12, 30, 3),
 }
 
+# wide profiles: same chain shapes, many clone hosts — the Zipf-tail
+# web-scale case where thousands of chains advance in parallel and
+# per-round fixed cost amortizes (BASELINE.md bench input)
+WIDE_PROFILES = {
+    # name: (n_pages, n_items, n_files, width)
+    "wide0.01": (3, 10, 2, 8),     # ~3.5k urls, 40 hosts
+    "wide0.1": (4, 20, 2, 40),     # ~20k urls, 200 hosts
+}
+
+# scale profile: ONE massive micro-batch round (2500 hosts x 100 docs,
+# ~12 KB realistic decision pages, ~250k URLs) — the shape of a
+# production round at 10^10-frontier scale, where fetch/extract compute
+# dominates and per-round commit overhead is negligible by design.
+# ground_truth=False: this input feeds the throughput bench only.
+SCALE_PROFILES = {
+    "scale": dict(n_pages=1, n_items=100, n_files=0, width=800,
+                  doc_pad_lines=120, ground_truth=False),
+    # scale_xl: ~1.9M pages / 32k hosts — sized so parallelizable
+    # fetch+extract compute dominates fixed per-round cost by >10x,
+    # the regime every production round at 10^10-frontier scale is in
+    "scale_xl": dict(n_pages=1, n_items=100, n_files=0, width=6400,
+                     doc_pad_lines=120, ground_truth=False),
+    "scale_small": dict(n_pages=1, n_items=50, n_files=0, width=100,
+                        doc_pad_lines=120, ground_truth=False),
+}
+
 
 def fixture_dir(profile: str = "sf0.01", root: str = "/tmp/crawler_spark_fixtures") -> str:
     """Generate-once cache of crawl fixtures for a scale profile."""
     out = os.path.join(root, profile)
     marker = os.path.join(out, ".complete")
     if not os.path.exists(marker):
-        n_pages, n_items, n_files = SF_PROFILES[profile]
-        generate(out, n_pages=n_pages, n_items=n_items, n_files=n_files)
+        if profile in SCALE_PROFILES:
+            cfg = dict(SCALE_PROFILES[profile])
+            width = cfg.pop("width")
+            generate(out, authorities=wide_authorities(width), **cfg)
+        elif profile in WIDE_PROFILES:
+            n_pages, n_items, n_files, width = WIDE_PROFILES[profile]
+            generate(
+                out,
+                n_pages=n_pages,
+                n_items=n_items,
+                n_files=n_files,
+                authorities=wide_authorities(width),
+            )
+        else:
+            n_pages, n_items, n_files = SF_PROFILES[profile]
+            generate(out, n_pages=n_pages, n_items=n_items, n_files=n_files)
         with open(marker, "w") as f:
             f.write("ok")
     return out

@@ -31,7 +31,7 @@ from datetime import date
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import corpus, multimodal, similarity, streaming
+from . import corpus, metadata, multimodal, similarity, streaming
 
 # -- DuckDB-side twins of the Spark expression fragments --------------------
 
@@ -609,6 +609,185 @@ SELECT source, word, n, rnk FROM (
 
 
 # ===========================================================================
+# Metadata-extraction analytics (SURVEY.md §2.5; metadata.py)
+# ===========================================================================
+
+
+def q_citations(spark, sf_dir):
+    return metadata.citations(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_CITATIONS = f"""
+WITH d AS (SELECT doc_id, {metadata.DUCK_CITATION_TEXT} AS text FROM documents),
+m AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        'article ([0-9]{{1,3}})(\\(([0-9]{{1,3}})\\))?', 0)) AS m FROM d)
+SELECT doc_id,
+  cast(regexp_extract(m, 'article ([0-9]{{1,3}})', 1) as int) AS article,
+  cast(nullif(regexp_extract(m, '\\(([0-9]{{1,3}})\\)', 1), '') as int) AS paragraph
+FROM m
+"""
+
+
+def q_citation_count(spark, sf_dir):
+    return metadata.citation_count(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_CITATION_COUNT = f"""
+WITH d AS (SELECT doc_id, {metadata.DUCK_CITATION_TEXT} AS text FROM documents)
+SELECT doc_id,
+  cast(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+    w -> list_contains(['gdpr', 'rgpd', '2016/679'], w))) as bigint) AS n_citations
+FROM d
+"""
+
+
+def q_keywords_topk(spark, sf_dir):
+    return metadata.keywords_topk(_t(spark, sf_dir, "documents"), n=2, k=5)
+
+
+ORACLE_KEYWORDS = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(tokens) - 1, 0)),
+        i -> tokens[i] || ' ' || tokens[i+1])) AS gram FROM t),
+c AS (SELECT doc_id, gram, count(*) AS n_occ FROM g GROUP BY 1, 2)
+SELECT doc_id, gram, n_occ, rnk FROM (
+  SELECT doc_id, gram, n_occ,
+    cast(row_number() OVER (PARTITION BY doc_id ORDER BY n_occ DESC, gram) as bigint) AS rnk
+  FROM c) WHERE rnk <= 5
+"""
+
+
+def q_timeline(spark, sf_dir):
+    return metadata.timeline(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TIMELINE = f"""
+WITH d AS (SELECT doc_id, {metadata.DUCK_CITATION_TEXT} AS text FROM documents)
+SELECT doc_id, unnest(regexp_extract_all(text,
+  '[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}', 0)) AS event_date
+FROM d
+"""
+
+
+def q_monetary_penalties(spark, sf_dir):
+    return metadata.monetary_penalties(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_PENALTIES = f"""
+WITH d AS (SELECT doc_id, {metadata.DUCK_CITATION_TEXT} AS text FROM documents)
+SELECT doc_id, cast(unnest(regexp_extract_all(text, 'EUR ([0-9]+)', 1)) as bigint) AS amount,
+  'EUR' AS currency
+FROM d
+"""
+
+
+def q_join_lines(spark, sf_dir):
+    """X8 over a multi-line variant of the corpus (deterministic line
+    breaks injected after words ending in 'e', both engines)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.expr("replace(text, 'e ', concat('e', '\\n'))")
+    )
+    return metadata.join_lines(docs)
+
+
+ORACLE_JOIN_LINES = """
+WITH d AS (SELECT doc_id, replace(text, 'e ', 'e' || chr(10)) AS text FROM documents),
+l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM d)
+SELECT doc_id,
+  CASE WHEN len(lines) <= 1 THEN text
+       ELSE list_reduce(lines, (x, y) -> x ||
+         CASE WHEN regexp_matches(x, '[.!?:;]$') THEN chr(10)
+              WHEN regexp_matches(y, '^[a-z]') THEN ' '
+              ELSE chr(10) END || y)
+  END AS joined_text
+FROM l
+"""
+
+
+def q_doc_keys(spark, sf_dir):
+    return metadata.doc_keys(_t(spark, sf_dir, "documents"))
+
+
+def _duck_keychar(i: int) -> str:
+    return (
+        f"substr('{metadata.DOC_KEY_ALPHABET}', "
+        f"cast(cast(('0x' || substr(md5(text || ':{i}'), 1, 7)) as bigint) "
+        f"% {len(metadata.DOC_KEY_ALPHABET)} + 1 as int), 1)"
+    )
+
+
+ORACLE_DOC_KEYS = f"""
+SELECT doc_id, 'K ' || {_duck_keychar(0)} || {_duck_keychar(1)}
+  || {_duck_keychar(2)} || {_duck_keychar(3)} AS doc_key
+FROM documents
+"""
+
+
+def q_word_preprocess(spark, sf_dir):
+    """X9: keep isalpha, lowercase, drop stopwords (preprocess_words)."""
+    en = ", ".join(f"'{w}'" for w in corpus.STOPWORDS["en"])
+    return corpus.with_tokens(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"filter(tokens, w -> w rlike '^[a-z]+$' "
+                f"and not array_contains(array({en}), w))"
+            )
+        ).alias("word"),
+    )
+
+
+ORACLE_WORD_PREPROCESS = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents)
+SELECT doc_id, unnest(list_filter(tokens,
+  w -> regexp_matches(w, '^[a-z]+$') AND NOT list_contains([{_DUCK_EN}], w))) AS word
+FROM t
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """Semi-structured scan: JSON props column -> typed agg per type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type, count(*) AS n,
+  cast(sum(cast(json_extract_string(props, '$.k') as int)) as bigint) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """A10 corpus clustering: pyspark.ml KMeans over embeddings (k=4,
+    fixed seed) — rows-only check (cluster ids are arbitrary labels).
+    Mirrors gdpr clustering (pygdpr/models/gdpr/__init__.py:190-270)
+    with embeddings standing in for TF-IDF vectors.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=4, seed=3425, featuresCol="features").fit(emb)
+    return model.transform(emb).select(
+        "vec_id", F.col("prediction").cast("int").alias("cluster")
+    )
+
+
+# ===========================================================================
 # Training-data pack: embeddings
 # ===========================================================================
 
@@ -771,6 +950,16 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "emb_neardup": q_emb_neardup,
     "multimodal_decode": q_multimodal_decode,
+    "citations": q_citations,
+    "citation_count": q_citation_count,
+    "keywords_topk": q_keywords_topk,
+    "timeline": q_timeline,
+    "monetary_penalties": q_monetary_penalties,
+    "join_lines": q_join_lines,
+    "doc_keys": q_doc_keys,
+    "word_preprocess": q_word_preprocess,
+    "json_props": q_json_props,
+    "kmeans_clusters": q_kmeans_clusters,
     "crawl_mini": q_crawl_mini,
 }
 
@@ -801,6 +990,17 @@ ORACLES = {
     "ann_lsh": ORACLE_ANN_LSH,
     "emb_neardup": ORACLE_EMB_NEARDUP,
     "multimodal_decode": ORACLE_MULTIMODAL,
-    # crawl_mini: intentionally no oracle (fixtures are not DuckDB views);
-    # its ground truth is the sequential oracle in tests/test_e2e_crawl.py.
+    "citations": ORACLE_CITATIONS,
+    "citation_count": ORACLE_CITATION_COUNT,
+    "keywords_topk": ORACLE_KEYWORDS,
+    "timeline": ORACLE_TIMELINE,
+    "monetary_penalties": ORACLE_PENALTIES,
+    "join_lines": ORACLE_JOIN_LINES,
+    "doc_keys": ORACLE_DOC_KEYS,
+    "word_preprocess": ORACLE_WORD_PREPROCESS,
+    "json_props": ORACLE_JSON_PROPS,
+    # crawl_mini / kmeans_clusters: intentionally no oracle (fixtures are
+    # not DuckDB views; kmeans labels are arbitrary) -> rows-only checks.
+    # crawl_mini's ground truth is the sequential oracle in
+    # tests/test_e2e_crawl.py.
 }

@@ -57,6 +57,7 @@ class CrawlRun:
         round_seconds: float = 60.0,
         use_bloom: bool = True,
         n_shards: int = SN.DEFAULT_SHARDS,
+        light_stats: bool = False,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -68,6 +69,9 @@ class CrawlRun:
         self.round_seconds = round_seconds
         self.use_bloom = use_bloom
         self.n_shards = n_shards
+        # light_stats skips the four per-round count() actions (used by
+        # the bench: counts are recoverable from fetch_log/metrics)
+        self.light_stats = light_stats
 
         t = lambda name, sch: SnapshotTable(os.path.join(state_dir, name), sch)
         self.frontier = t("frontier", S.FRONTIER)
@@ -178,12 +182,31 @@ class CrawlRun:
         budgets = FR.host_budgets(allowed, self.seeds_df(), self.round_seconds)
         scheduled = FR.schedule(allowed, budgets).persist()
 
-        # 3. fetch = left equi-join vs pages (S3/S4); html stays on the
-        #    scan side, consumed immediately by the extract stage
+        # 3. fetch = equi-join vs pages (S3/S4).  The html column is the
+        #    heavy payload: a plain left join would sort-merge-SHUFFLE the
+        #    whole pages side (IO-bound, does not scale with cores), so
+        #    instead the *scheduled* side — one short row per URL in
+        #    flight this round — broadcasts against the pages scan
+        #    (inner), and misses (404s) are recovered with a cheap
+        #    anti-join on the url column alone.  html never leaves the
+        #    scan partition; it is consumed immediately by the extract
+        #    stage.  On a real cluster the same plan shape holds with a
+        #    storage-partitioned/bucketed join when a round is too large
+        #    to broadcast (both tables bucketed by url_hash).
         pages = self.pages_df().select(
             "url", "html", F.col("lang").alias("page_lang")
         )
-        fetched = scheduled.join(pages, "url", "left").select(
+        sched_cols = scheduled.select(
+            "url", "authority", "doc_type", "depth", "priority", "seq",
+            "title", "release_date", "doc_hash", "raw_hash",
+        )
+        hits = pages.join(F.broadcast(sched_cols), "url", "inner")
+        misses = (
+            sched_cols.join(pages.select("url"), "url", "left_anti")
+            .withColumn("html", F.lit(None).cast("binary"))
+            .withColumn("page_lang", F.lit(None).cast("string"))
+        )
+        fetched = hits.unionByName(misses).select(
             "url",
             "authority",
             "doc_type",
@@ -197,7 +220,17 @@ class CrawlRun:
             "html",
             F.col("page_lang").alias("lang"),
         )
-        out = fetched.mapInPandas(make_fetch_extract(self.as_of), EXTRACT_OUT).persist()
+        # Materialize the extract output ONCE to scratch parquet instead
+        # of caching it: a round's payload (html/text/content) is far
+        # bigger than executor memory at scale, and a deserialized cache
+        # of it OOMs the heap.  Parquet scratch gives every downstream
+        # consumer (documents, seen, states, logs, metrics, expansion)
+        # COLUMN-PRUNED reads — the slim consumers never touch the
+        # payload columns at all.
+        out_raw = fetched.mapInPandas(make_fetch_extract(self.as_of), EXTRACT_OUT)
+        scratch = os.path.join(self.state_dir, "scratch", f"round-{round_id}")
+        out_raw.write.mode("overwrite").parquet(scratch)
+        out = spark.read.schema(EXTRACT_OUT).parquet(scratch)
 
         # 4a. expansion: depth-0 listing children — URL-level dedupe
         #     (Pagination.add_item + page_list memo, P5) via left-anti
@@ -304,8 +337,10 @@ class CrawlRun:
             .unionByName(denied_state)
             .dropDuplicates(["url_hash"])
         )
+        # states is tiny relative to the frontier (one row per scheduled
+        # url, ~16B each) — broadcast so the big frontier never shuffles
         updated = (
-            frontier_df.join(states, "url_hash", "left")
+            frontier_df.join(F.broadcast(states), "url_hash", "left")
             .withColumn("state", F.coalesce(F.col("new_state"), F.col("state")))
             .drop("new_state")
         )
@@ -319,7 +354,7 @@ class CrawlRun:
         ).dropDuplicates(["url_hash"])
         log_rows = (
             scheduled.select("url", "url_hash", "host")
-            .join(attempt_status, "url_hash", "left")
+            .join(F.broadcast(attempt_status), "url_hash", "left")
             .select(
                 F.lit(round_id).cast("long").alias("batch_id"),
                 "url",
@@ -331,10 +366,17 @@ class CrawlRun:
         )
 
         # -- stats (actions) --------------------------------------------------
-        n_sched = scheduled.count()
-        n_docs = doc_rows.count()
-        n_new = new_rows.count()
-        n_seen = seen_delta.count()
+        # every scheduled row emits exactly one doc-or-log out row, so the
+        # per-authority scheduled count folds into the metrics aggregation
+        # (no separate count jobs); light_stats skips the driver-side
+        # counts entirely and reads them from metrics afterwards if needed
+        if self.light_stats:
+            n_sched = n_docs = n_new = n_seen = -1
+        else:
+            n_sched = scheduled.count()
+            n_docs = doc_rows.count()
+            n_new = new_rows.count()
+            n_seen = seen_delta.count()
 
         met = (
             out.groupBy("authority")
@@ -349,6 +391,9 @@ class CrawlRun:
                     "failed"
                 ),
                 F.sum(
+                    F.when(F.col("out_kind").isin("doc", "log"), 1).otherwise(0)
+                ).alias("scheduled"),
+                F.sum(
                     F.when(
                         F.col("text").isNotNull(), F.length("text")
                     ).otherwise(0)
@@ -360,7 +405,7 @@ class CrawlRun:
                 F.lit("*").alias("host"),
                 F.col("expanded").cast("long"),
                 F.lit(0).cast("long").alias("deduped"),
-                F.lit(n_sched).cast("long").alias("scheduled"),
+                F.col("scheduled").cast("long"),
                 F.col("fetched").cast("long"),
                 F.col("failed").cast("long"),
                 F.col("bytes_extracted").cast("long"),
@@ -386,7 +431,9 @@ class CrawlRun:
         self._commit_lineage(round_id, fetched=n_sched, extracted=n_docs)
 
         scheduled.unpersist()
-        out.unpersist()
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
         return {
             "round": round_id,
             "scheduled": n_sched,
