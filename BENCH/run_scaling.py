@@ -56,29 +56,36 @@ spark = get_spark(f"scaling{{cpus}}", master=f"local[{{cpus}}]",
                               # per task -> bound it for wide binary rows
                               "spark.sql.inMemoryColumnarStorage.batchSize": "500",
                               "spark.python.worker.faulthandler.enabled": "true",
+                              # trade idle CPU for disk bandwidth — the
+                              # text payload compresses ~2x better than
+                              # snappy at negligible cost
+                              "spark.sql.parquet.compression.codec": "zstd",
                               "spark.driver.memory": "24g",
                               "spark.driver.extraJavaOptions":
                                   "-Xms20g -XX:+AlwaysPreTouch"}})
 spark.sparkContext.setLogLevel("ERROR")
 
-def crawl():
+def crawl(fixdir):
     state = tempfile.mkdtemp(prefix=f"scaling_{{cpus}}_")
     run = CrawlRun(spark, state_dir=state,
-                   pages_path=f"{{fix}}/pages.parquet",
-                   seeds_path=f"{{fix}}/seeds.parquet",
-                   robots_path=f"{{fix}}/robots.parquet", as_of=AS_OF,
-                   round_seconds=3600.0, light_stats=True)
+                   pages_path=f"{{fixdir}}/pages.parquet",
+                   seeds_path=f"{{fixdir}}/seeds.parquet",
+                   robots_path=f"{{fixdir}}/robots.parquet", as_of=AS_OF,
+                   round_seconds=3600.0, light_stats=True,
+                   store_content=False)
     t0 = time.time(); run.run(max_rounds=10); wall = time.time() - t0
     fetched = run.fetch_log.read(spark).count()
     docs = run.documents.read(spark).count()
     return wall, fetched, docs, state
 
-# warmup pass: python workers spawn + imports, codegen compiles, page
-# cache warms — one-time costs shared by both parallelism levels
-w_wall, _, _, w_state = crawl()
+# warmup pass on the small profile: python workers spawn + imports,
+# codegen compiles, JVM heap commits — one-time costs shared by both
+# parallelism levels (the big fixture's page cache is warmed by the
+# parent's fixture_dir call + first scan)
+w_wall, _, _, w_state = crawl(fixture_dir("scale_small"))
 shutil.rmtree(w_state, ignore_errors=True)
 os.sync()  # flush warmup writeback so it cannot stall the timed pass
-wall, fetched, docs, state = crawl()  # timed steady-state pass
+wall, fetched, docs, state = crawl(fix)  # timed steady-state pass
 shutil.rmtree(state, ignore_errors=True)
 print(json.dumps({{"cpus": cpus, "wall_s": round(wall, 2),
                    "warmup_wall_s": round(w_wall, 2),

@@ -58,6 +58,7 @@ class CrawlRun:
         use_bloom: bool = True,
         n_shards: int = SN.DEFAULT_SHARDS,
         light_stats: bool = False,
+        store_content: bool = True,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -72,6 +73,12 @@ class CrawlRun:
         # light_stats skips the four per-round count() actions (used by
         # the bench: counts are recoverable from fetch_log/metrics)
         self.light_stats = light_stats
+        # store_content=False stores documents by-reference (text +
+        # metadata only; raw bytes stay in the pages table, addressable
+        # by url) — the normalized layout at 100 TB, halving write
+        # volume.  True mirrors the reference's raw-file-plus-text sink
+        # (pygdpr/models/dpa/austria/__init__.py:134-148).
+        self.store_content = store_content
 
         t = lambda name, sch: SnapshotTable(os.path.join(state_dir, name), sch)
         self.frontier = t("frontier", S.FRONTIER)
@@ -228,6 +235,8 @@ class CrawlRun:
         # COLUMN-PRUNED reads — the slim consumers never touch the
         # payload columns at all.
         out_raw = fetched.mapInPandas(make_fetch_extract(self.as_of), EXTRACT_OUT)
+        if not self.store_content:
+            out_raw = out_raw.withColumn("content", F.lit(None).cast("binary"))
         scratch = os.path.join(self.state_dir, "scratch", f"round-{round_id}")
         out_raw.write.mode("overwrite").parquet(scratch)
         out = spark.read.schema(EXTRACT_OUT).parquet(scratch)
