@@ -39,6 +39,10 @@ from crawler_spark.rounds import CrawlRun
 
 cpus = int(sys.argv[1])
 fix = fixture_dir({profile!r})
+# SPARK_GRAFT_SCALE_STORAGE=shm: state/scratch + spark shuffle dirs on
+# tmpfs, emulating the executor-local disks a real cluster has
+SHM = os.environ.get("SPARK_GRAFT_SCALE_STORAGE") == "shm"
+STATE_ROOT = "/dev/shm" if SHM else None
 # -Xms pre-commits the heap: without it the first multi-GB stage pays
 # tens of seconds of heap growth + kernel page-zeroing INSIDE the
 # measured region (observed as 50-80% sys CPU), which is JVM startup
@@ -60,13 +64,15 @@ spark = get_spark(f"scaling{{cpus}}", master=f"local[{{cpus}}]",
                               # text payload compresses ~2x better than
                               # snappy at negligible cost
                               "spark.sql.parquet.compression.codec": "zstd",
+                              **({{"spark.local.dir": "/dev/shm/spark_local"}}
+                                 if SHM else {{}}),
                               "spark.driver.memory": "24g",
                               "spark.driver.extraJavaOptions":
                                   "-Xms20g -XX:+AlwaysPreTouch"}})
 spark.sparkContext.setLogLevel("ERROR")
 
 def crawl(fixdir):
-    state = tempfile.mkdtemp(prefix=f"scaling_{{cpus}}_")
+    state = tempfile.mkdtemp(prefix=f"scaling_{{cpus}}_", dir=STATE_ROOT)
     run = CrawlRun(spark, state_dir=state,
                    pages_path=f"{{fixdir}}/pages.parquet",
                    seeds_path=f"{{fixdir}}/seeds.parquet",
