@@ -1,0 +1,85 @@
+"""Hot-host salting: budgets survive the salt split (SURVEY.md §4.1, §7.3.4).
+
+A Zipfian frontier concentrates pending rows on a few hot hosts; the
+scheduler splits each hot host over S salted partitions but must never
+schedule more than the host's politeness budget in total.
+"""
+
+from pyspark.sql import functions as F
+
+from crawler_spark import frontier as FR
+
+
+def _pending(spark, host, n, authority="ireland", prio=0):
+    rows = [
+        (
+            f"https://{host}/doc/{i}.html",
+            i * 2654435761 % (1 << 60),
+            authority,
+            "Decisions",
+            1,
+            prio,
+            host,
+            1000 + i,
+            "pending",
+            0,
+            None,
+            None,
+            None,
+            None,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "url string, url_hash long, authority string, doc_type string, "
+        "depth int, priority int, host string, seq long, state string, "
+        "retry_count int, title string, release_date date, doc_hash string, "
+        "raw_hash string",
+    )
+
+
+def _budgets(spark, host, budget):
+    return spark.createDataFrame([(host, budget)], "host string, budget int")
+
+
+def test_hot_host_split_never_exceeds_budget(spark):
+    pending = _pending(spark, "hot.example.eu", 500)
+    budgets = _budgets(spark, "hot.example.eu", 64)
+    # salt_rows_target=50 forces n_salts = min(ceil(500/50), 32, 64) = 10
+    out = FR.schedule(pending, budgets, salt_rows_target=50)
+    n = out.count()
+    assert n <= 64, "politeness budget violated after salting"
+    assert n == 10 * (64 // 10), "expected n_salts*salt_budget rows"
+
+
+def test_cold_host_unaffected_by_salting(spark):
+    pending = _pending(spark, "cold.example.eu", 5)
+    budgets = _budgets(spark, "cold.example.eu", 12)
+    out = FR.schedule(pending, budgets, salt_rows_target=50_000)
+    assert out.count() == 5  # all under budget, single salt
+
+
+def test_budget_one_schedules_exactly_one(spark):
+    pending = _pending(spark, "strict.example.eu", 300)
+    budgets = _budgets(spark, "strict.example.eu", 1)
+    out = FR.schedule(pending, budgets, salt_rows_target=10)
+    rows = out.collect()
+    assert len(rows) == 1
+    # deterministic: the minimum (priority, seq) row wins
+    assert rows[0]["seq"] == 1000
+
+
+def test_scheduling_order_is_priority_then_seq(spark):
+    a = _pending(spark, "h.example.eu", 10, prio=5)
+    b = _pending(spark, "h.example.eu", 10, prio=1).withColumn(
+        "seq", F.col("seq") + 100
+    ).withColumn("url", F.concat(F.col("url"), F.lit("?b")))
+    # distinct url_hash for the b rows so nothing collides
+    b = b.withColumn("url_hash", F.col("url_hash") + 7)
+    pending = a.unionByName(b)
+    budgets = _budgets(spark, "h.example.eu", 3)
+    out = FR.schedule(pending, budgets, salt_rows_target=50_000)
+    got = sorted((r["priority"], r["seq"]) for r in out.collect())
+    assert all(p == 1 for p, _ in got), "lower priority value schedules first"
+    assert len(got) == 3
