@@ -116,6 +116,35 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 10,
     )
 
 
+def running_counts_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event counts across
+    micro-batches via ``applyInPandasWithState`` (GroupState).
+
+    This is the streaming analog of the crawl engine's cumulative
+    per-host fetch counters (fetch_log rollup): state = one long per
+    key, updated batch-by-batch, emitted in update mode.  The pattern
+    generalizes to per-host politeness pacing (state = token bucket)
+    without changing the plan shape.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id long, n_events long",
+        "n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_batch(
     spark, src_dir: str, schema, transform, checkpoint_dir: str
 ) -> DataFrame:

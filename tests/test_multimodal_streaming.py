@@ -80,3 +80,40 @@ def test_sessionize_stream_agrees_on_session_count(spark):
             os.path.join(tmp, "ckpt"),
         )
         assert out.count() == batch_sessions
+
+
+def test_stateful_running_counts_across_batches(spark):
+    """applyInPandasWithState accumulates state across micro-batches."""
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    batch_counts = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        # 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+        events.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming.running_counts_stream(stream)
+            .writeStream.format("memory")
+            .queryName("running_counts")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # update mode emits one row per key per batch; the max is final
+        final = {
+            r["user_id"]: r["mx"]
+            for r in spark.table("running_counts")
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("mx"))
+            .collect()
+        }
+    assert final == batch_counts
