@@ -746,6 +746,33 @@ FROM t
 """
 
 
+def q_filename_extract(spark, sf_dir):
+    """X11 filename-from-path (filename_from_path_service.py:1-4):
+    ``path.split('/')[-1].split('.')[0]`` as one regexp_extract over a
+    deterministic per-doc path."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "path",
+        F.concat(
+            F.lit("/corpus/"), F.col("source"), F.lit("/doc-"),
+            F.col("doc_id").cast("string"), F.lit(".txt"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        "path",
+        F.regexp_extract("path", "([^/]+?)(\\.[^./]*)?$", 1).alias("filename"),
+    )
+
+
+ORACLE_FILENAME = """
+WITH d AS (SELECT doc_id,
+  '/corpus/' || source || '/doc-' || cast(doc_id as varchar) || '.txt' AS path
+  FROM documents)
+SELECT doc_id, path, regexp_extract(path, '([^/]+?)(\\.[^./]*)?$', 1) AS filename
+FROM d
+"""
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured scan: JSON props column -> typed agg per type."""
     ev = _t(spark, sf_dir, "events")
@@ -958,6 +985,7 @@ QUERIES = {
     "join_lines": q_join_lines,
     "doc_keys": q_doc_keys,
     "word_preprocess": q_word_preprocess,
+    "filename_extract": q_filename_extract,
     "json_props": q_json_props,
     "kmeans_clusters": q_kmeans_clusters,
     "crawl_mini": q_crawl_mini,
@@ -998,6 +1026,7 @@ ORACLES = {
     "join_lines": ORACLE_JOIN_LINES,
     "doc_keys": ORACLE_DOC_KEYS,
     "word_preprocess": ORACLE_WORD_PREPROCESS,
+    "filename_extract": ORACLE_FILENAME,
     "json_props": ORACLE_JSON_PROPS,
     # crawl_mini / kmeans_clusters: intentionally no oracle (fixtures are
     # not DuckDB views; kmeans labels are arbitrary) -> rows-only checks.
