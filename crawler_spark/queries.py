@@ -879,6 +879,15 @@ SELECT query_id, vec_id, rank, cosine FROM (
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (KMeans coarse quantizer + multi-probe) — the similarity
+    scale path; rows-only check (centroids are data-dependent), recall
+    vs brute force asserted in tests/test_similarity.py."""
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=5, k=5, n_lists=8, n_probe=4
+    )
+
+
 def q_emb_neardup(spark, sf_dir):
     return similarity.neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
@@ -975,6 +984,7 @@ QUERIES = {
     "stopword_topk": q_stopword_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "emb_neardup": q_emb_neardup,
     "multimodal_decode": q_multimodal_decode,
     "citations": q_citations,

@@ -133,6 +133,77 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 3425,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans coarse quantizer + multi-probe.
+
+    The 100 TB shape: candidates partition into ``n_lists`` Voronoi
+    cells (pyspark.ml KMeans, fixed seed); each query probes its
+    ``n_probe`` nearest centroids and ranks only those cells' vectors.
+    Shuffle volume is bounded by the probed cells, not the corpus; the
+    centroid assignment is a broadcast of ``n_lists`` centroids.
+    Deterministic given the seed, but centroids are data-dependent, so
+    this is a rows-only check in the driver gate; pytest asserts
+    recall against the exact brute-force top-k instead.
+    Output: (query_id, vec_id, rank:bigint, cosine).
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = with_norm(emb)
+    feats = base.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(
+        feats.filter(F.col("vec_id") >= n_queries)
+    )
+    assigned = model.transform(feats).withColumnRenamed("prediction", "cell")
+
+    # nearest n_probe centroids per query, computed driver-side over the
+    # tiny centroid set (n_lists rows) — broadcast as a probe map
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    cnorm = np.linalg.norm(centroids, axis=1)
+    q_rows = assigned.filter(F.col("vec_id") < n_queries).select(
+        "vec_id", "embedding", "norm"
+    ).collect()
+    probes = []
+    for r in q_rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        sims = centroids @ v / (cnorm * r["norm"] + 1e-30)
+        for cell in np.argsort(-sims)[:n_probe]:
+            probes.append((int(r["vec_id"]), int(cell)))
+    probe_df = assigned.sparkSession.createDataFrame(
+        probes, "query_id long, cell int"
+    )
+
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    ).join(F.broadcast(probe_df), "query_id")
+    c = assigned.filter(F.col("vec_id") >= n_queries).select(
+        "vec_id", "embedding", "norm", "cell"
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "vec_id",
+        F.expr(_cos("qvec", "embedding", "qnorm", "norm")).alias("cosine"),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
 def neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs).
 

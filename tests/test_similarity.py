@@ -51,3 +51,28 @@ def test_neardup_pairs_threshold(emb):
     }
     assert (0, 10) in pairs
     assert all(c >= 0.95 for c in pairs.values())
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF multi-probe recovers most of the exact top-k on real data."""
+    emb_full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb_full, n_queries=5, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(
+            emb_full, n_queries=5, k=5, n_lists=8, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # deterministic across invocations (fixed KMeans seed)
+    ivf2 = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(
+            emb_full, n_queries=5, k=5, n_lists=8, n_probe=4
+        ).collect()
+    }
+    assert ivf == ivf2
