@@ -50,7 +50,11 @@ BENCH_QUERIES = [
     "stopword_topk",
     "ann_cosine_topk",
     "ann_lsh",
+    "ann_ivf",
     "multimodal_decode",
+    "citations",
+    "keywords_topk",
+    "json_props",
 ]
 
 
