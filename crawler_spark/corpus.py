@@ -48,11 +48,24 @@ def h64(expr: str) -> str:
     return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
 
 
+def seq1(n_expr: str) -> str:
+    """Ascending 1..n as a Spark SQL expr, SAFE for n <= 0.
+
+    ``sequence(1, 0)`` in Spark is DESCENDING [1, 0] (step inferred),
+    which feeds 0 into downstream ``slice`` and crashes — so clamp the
+    stop to >= 1 and filter the spurious element out.
+    """
+    return (
+        f"filter(sequence(1, greatest({n_expr}, 1)), i -> i <= ({n_expr}))"
+    )
+
+
 def shingles_expr(k: int) -> str:
     """Distinct k-word shingles of ``tokens`` (array<string> column)."""
+    n = f"size(tokens) - {k - 1}"
     return (
-        "array_distinct(transform(sequence(1, greatest(size(tokens) - "
-        f"{k - 1}, 0)), i -> concat_ws(' ', slice(tokens, i, {k}))))"
+        f"array_distinct(transform({seq1(n)}, "
+        f"i -> concat_ws(' ', slice(tokens, i, {k}))))"
     )
 
 
@@ -288,8 +301,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
     """
     kgram = f"concat_ws(' ', slice(tokens, i, {k}))"
     shingle_hashes = (
-        f"transform(sequence(1, greatest(size(tokens) - {k - 1}, 0)), "
-        f"i -> {h64(kgram)})"
+        f"transform({seq1(f'size(tokens) - {k - 1}')}, i -> {h64(kgram)})"
     )
     mins = (
         f"transform(sequence(1, greatest(size(hs) - {w - 1}, 1)), "

@@ -120,12 +120,15 @@ def keywords_topk(docs: DataFrame, n: int = 2, k: int = 5) -> DataFrame:
     explode n-grams -> count -> per-doc rank window; ties broken by the
     gram string for determinism.  Output: (doc_id, gram, n_occ, rnk).
     """
-    grams = docs.select(
+    from .corpus import seq1, with_tokens
+
+    n_sh = f"size(tokens) - {n - 1}"
+    grams = with_tokens(docs).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')) - "
-                f"{n - 1}, 0)), i -> concat_ws(' ', slice(filter(split(lower(trim(text)), '\\\\s+'), x -> x <> ''), i, {n})))"
+                f"transform({seq1(n_sh)}, "
+                f"i -> concat_ws(' ', slice(tokens, i, {n})))"
             )
         ).alias("gram"),
     )
