@@ -374,7 +374,7 @@ EXTRACT_OUT = T.StructType(
 )
 
 
-def make_fetch_extract(as_of: date):
+def make_fetch_extract(as_of: date, store_content: bool = True):
     """Build the mapInPandas function for one crawl round.
 
     Input rows: scheduled frontier rows already joined to ``pages`` (so
@@ -383,6 +383,11 @@ def make_fetch_extract(as_of: date):
     seq pre-assigned by the pure arithmetic above), 'doc' rows (extracted
     documents) and 'log' rows (misses) — one pass over html (SURVEY.md
     §4.4).
+
+    ``store_content=False`` emits ``content=None`` *inside* the UDF so
+    the payload bytes never cross the Python→JVM Arrow boundary at all
+    (by-reference document layout: raw bytes stay addressable in the
+    pages table by url).
     """
 
     cols = [f.name for f in EXTRACT_OUT.fields]
@@ -492,7 +497,7 @@ def make_fetch_extract(as_of: date):
                                 "title": r.title,
                                 "release_date": r.release_date,
                                 "text": parsed["text"],
-                                "content": html_bytes,
+                                "content": html_bytes if store_content else None,
                                 "status": "ok",
                             }
                         )
@@ -528,7 +533,7 @@ def make_fetch_extract(as_of: date):
                             "title": r.title,
                             "release_date": r.release_date,
                             "text": text,
-                            "content": html_bytes,
+                            "content": html_bytes if store_content else None,
                             "status": status,
                         }
                     )

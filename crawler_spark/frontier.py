@@ -182,6 +182,7 @@ def admit_candidates(
     seen: DataFrame,
     frontier_depth1: DataFrame,
     run_id: int,
+    bloom_state: DataFrame | None = None,
 ) -> DataFrame:
     """Decide final doc keys for depth-1 candidates of one round.
 
@@ -203,15 +204,49 @@ def admit_candidates(
     Input needs columns: url, url_hash, raw_hash, release_date, seq (+
     passthrough).  Output: admitted rows with final ``doc_hash``.
     """
-    # P3 — prior-run final keys, compared against the candidate's RAW key
+    # P3 — prior-run final keys, compared against the candidate's RAW
+    # key.  The seen table is the 10^10-row side: candidates that the
+    # sharded Bloom marks definitely-new skip membership checking, and
+    # the residue is verified with a probe-shaped anti-join (seen is
+    # scanned, never shuffled).  Bloom keys are xxhash64(final key) —
+    # a raw-key match implies final==raw, so probing xxhash64(raw_hash)
+    # is a superset test (no false negatives); keys from the *current*
+    # run in the Bloom only create residue rows, which the exact
+    # run_id-filtered anti-join then correctly keeps.
+    from . import seen as SN
+
     prior = seen.filter(F.col("run_id") < run_id).select(
         F.col("doc_hash").alias("raw_hash")
     )
-    cand = candidates.join(prior, "raw_hash", "left_anti")
+    if bloom_state is not None:
+        flagged = SN.bloom_flag(
+            candidates.withColumn("__h", F.xxhash64(F.col("raw_hash"))),
+            bloom_state,
+            hash_col="__h",
+        ).drop("__h")
+        fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        suspected = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        # exact residue check on the md5 string itself (not the 64-bit
+        # probe hash) — a hash collision can only cost a residue check,
+        # never a false drop
+        cand = fresh.unionByName(SN.anti_join_probe(suspected, prior, "raw_hash"))
+    else:
+        cand = SN.anti_join_probe(candidates, prior, "raw_hash")
 
-    # first-date registry from earlier rounds of this run
+    # first-date registry from earlier rounds of this run — probe-shaped:
+    # the big depth-1 set is first semi-filtered (broadcast) down to the
+    # raw_hashes present in this round's candidates, so the groupBy and
+    # the join below only ever touch round-sized data; the frontier side
+    # is scanned, never shuffled.
     reg = (
         frontier_depth1.filter(F.col("raw_hash").isNotNull())
+        .join(
+            # pre-P3 candidate set: a superset probe is harmless (left
+            # join below) and avoids recomputing the bloom-flag stage
+            F.broadcast(candidates.select("raw_hash").distinct()),
+            "raw_hash",
+            "left_semi",
+        )
         .groupBy("raw_hash")
         .agg(
             F.min_by("release_date", "seq").alias("first_date"),
@@ -221,7 +256,7 @@ def admit_candidates(
     # resolve "first" across (registry ∪ current batch) with one window
     w = Window.partitionBy("raw_hash").orderBy("seq")
     cand = (
-        cand.join(reg, "raw_hash", "left")
+        cand.join(F.broadcast(reg), "raw_hash", "left")
         .withColumn("__rn", F.row_number().over(w))
         .withColumn(
             "__batch_first_date", F.first("release_date").over(w)
@@ -249,13 +284,16 @@ def admit_candidates(
     # within the batch (window) and across earlier rounds (anti-join
     # against final keys already enqueued this run)
     w2 = Window.partitionBy("doc_hash").orderBy("seq")
-    cand = (
-        cand.withColumn("__rn2", F.row_number().over(w2))
-        .filter(F.col("__rn2") == 1)
-        .drop("__rn", "__rn2", "__batch_first_date", "first_date", "first_seq")
-        .join(frontier_depth1.select("doc_hash").distinct(), "doc_hash", "left_anti")
+    cand = cand.withColumn("__rn2", F.row_number().over(w2)).filter(
+        F.col("__rn2") == 1
+    ).drop("__rn", "__rn2", "__batch_first_date", "first_date", "first_seq")
+    # already-enqueued final keys: probe-shaped anti (frontier scanned,
+    # never shuffled — see seen.anti_join_probe)
+    return SN.anti_join_probe(
+        cand,
+        frontier_depth1.filter(F.col("doc_hash").isNotNull()).select("doc_hash"),
+        "doc_hash",
     )
-    return cand
 
 
 def seed_frontier(seeds: DataFrame) -> DataFrame:

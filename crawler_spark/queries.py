@@ -246,9 +246,29 @@ def q_crawl_order_replay(spark, sf_dir):
     this query is the replay/verification view of that order.
     """
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    return ev.select(
-        "event_id", F.row_number().over(w).cast("bigint").alias("seq")
+    # distributed total order (zipWithIndex shape): range-partition by the
+    # sort key, count per partition, prefix-sum the (tiny, P-row) counts
+    # into offsets, then rank WITHIN partitions and add the offset.  No
+    # single-reducer global window ever sees the data; the only
+    # unpartitioned window below runs over P rows (one per partition).
+    P = spark.sparkContext.defaultParallelism
+    parts = ev.repartitionByRange(P, "ts", "event_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("__pid")
+        .count()
+        .withColumn("__off", F.coalesce(F.sum("count").over(w_off), F.lit(0)))
+        .drop("count")
+    )
+    w_in = Window.partitionBy("__pid").orderBy("ts", "event_id")
+    return (
+        parts.join(F.broadcast(offsets), "__pid")
+        .select(
+            "event_id",
+            (F.row_number().over(w_in) + F.col("__off")).cast("bigint").alias("seq"),
+        )
     )
 
 
@@ -943,22 +963,34 @@ def q_crawl_mini(spark, sf_dir):
     from . import fixtures
     from .rounds import CrawlRun
 
+    import shutil
+
     fix = fixtures.fixture_dir("sf0.001")
     state = tempfile.mkdtemp(prefix="crawl_mini_")
-    run = CrawlRun(
-        spark,
-        state_dir=state,
-        pages_path=f"{fix}/pages.parquet",
-        seeds_path=f"{fix}/seeds.parquet",
-        robots_path=f"{fix}/robots.parquet",
-        as_of=fixtures.AS_OF,
-        use_bloom=False,
-    )
-    run.run(max_rounds=12)
-    return (
-        run.documents.read(spark)
-        .select("doc_hash", "authority", "url", "seq")
-        .orderBy("seq")
+    try:
+        run = CrawlRun(
+            spark,
+            state_dir=state,
+            pages_path=f"{fix}/pages.parquet",
+            seeds_path=f"{fix}/seeds.parquet",
+            robots_path=f"{fix}/robots.parquet",
+            as_of=fixtures.AS_OF,
+            use_bloom=False,
+        )
+        run.run(max_rounds=12)
+        # materialize driver-side (tiny: mini fixture) so the crawl state
+        # dir can be deleted before the DataFrame is consumed (ADVICE:
+        # q_crawl_mini leaked a full crawl state per invocation)
+        rows = (
+            run.documents.read(spark)
+            .select("doc_hash", "authority", "url", "seq")
+            .orderBy("seq")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_hash string, authority string, url string, seq long"
     )
 
 

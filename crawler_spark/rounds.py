@@ -28,6 +28,7 @@ mapInPandas stage (column pruning keeps them out of everything else).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from datetime import date
 
@@ -59,6 +60,7 @@ class CrawlRun:
         n_shards: int = SN.DEFAULT_SHARDS,
         light_stats: bool = False,
         store_content: bool = True,
+        broadcast_rows_max: int = 2_000_000,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -79,11 +81,19 @@ class CrawlRun:
         # volume.  True mirrors the reference's raw-file-plus-text sink
         # (pygdpr/models/dpa/austria/__init__.py:134-148).
         self.store_content = store_content
+        # above this many scheduled rows the fetch join falls back from a
+        # broadcast hint to a plain equi-join (AQE / storage-partitioned
+        # join on a real cluster) instead of OOMing the driver
+        self.broadcast_rows_max = broadcast_rows_max
 
         t = lambda name, sch: SnapshotTable(os.path.join(state_dir, name), sch)
         self.frontier = t("frontier", S.FRONTIER)
         self.seen = t("seen", S.SEEN)
         self.bloom = t("seen_bloom", S.SEEN_BLOOM)
+        # second sharded Bloom over *frontier url_hashes* (the north-star
+        # "URL-seen filter"): P5 page-revisit dedupe consults it so the
+        # common case (brand-new child URL) never joins the big frontier
+        self.url_bloom = t("url_bloom", S.SEEN_BLOOM)
         self.documents = t("documents", S.DOCUMENTS)
         self.fetch_log = t("fetch_log", S.FETCH_LOG)
         self.lineage = t("lineage", S.LINEAGE)
@@ -104,7 +114,16 @@ class CrawlRun:
         """Seed the frontier (round 0 commit point)."""
         if self.frontier.current_snapshot_id() is not None:
             return
-        self.frontier.overwrite(FR.seed_frontier(self.seeds_df()), note="seed")
+        seeded = FR.seed_frontier(self.seeds_df())
+        self.frontier.overwrite(seeded, note="seed")
+        if self.use_bloom:
+            self.url_bloom.overwrite(
+                SN.bloom_build(
+                    self.spark, seeded.select("url_hash"), None,
+                    n_shards=self.n_shards,
+                ),
+                note="seed",
+            )
         self._commit_lineage(round_id=0, fetched=0, extracted=0)
 
     def last_committed_round(self) -> int | None:
@@ -117,7 +136,12 @@ class CrawlRun:
 
         Returns the next round id to run.  Any partial commits after the
         last lineage row are discarded (time-travel via snapshot ids).
+        Leftover scratch from a crashed round is purged here (it is
+        re-derived by replaying the round).  Bloom tables are *not*
+        rolled back: a Bloom that is ahead of its base table only adds
+        false positives, which the exact residue checks absorb.
         """
+        shutil.rmtree(os.path.join(self.state_dir, "scratch"), ignore_errors=True)
         last = self.last_committed_round()
         if last is None:
             self.init()
@@ -189,13 +213,22 @@ class CrawlRun:
         budgets = FR.host_budgets(allowed, self.seeds_df(), self.round_seconds)
         scheduled = FR.schedule(allowed, budgets).persist()
 
+        # count once: it both materializes the persist and gates the
+        # broadcast hint (ADVICE: an unbounded round must degrade to a
+        # shuffle/storage-partitioned join, not OOM the driver)
+        n_sched = scheduled.count()
+
         # 3. fetch = equi-join vs pages (S3/S4).  The html column is the
         #    heavy payload: a plain left join would sort-merge-SHUFFLE the
         #    whole pages side (IO-bound, does not scale with cores), so
         #    instead the *scheduled* side — one short row per URL in
         #    flight this round — broadcasts against the pages scan
-        #    (inner), and misses (404s) are recovered with a cheap
-        #    anti-join on the url column alone.  html never leaves the
+        #    (inner, size-gated).  Misses (404s) are recovered AFTER the
+        #    extract stage from the round's own output (every hit emits
+        #    exactly one doc-or-log row with its own url): a broadcast
+        #    anti-join of the round-sized scheduled set against the
+        #    round-sized hit set — the pages table is scanned exactly
+        #    once per round and never shuffled.  html never leaves the
         #    scan partition; it is consumed immediately by the extract
         #    stage.  On a real cluster the same plan shape holds with a
         #    storage-partitioned/bucketed join when a round is too large
@@ -207,13 +240,12 @@ class CrawlRun:
             "url", "authority", "doc_type", "depth", "priority", "seq",
             "title", "release_date", "doc_hash", "raw_hash",
         )
-        hits = pages.join(F.broadcast(sched_cols), "url", "inner")
-        misses = (
-            sched_cols.join(pages.select("url"), "url", "left_anti")
-            .withColumn("html", F.lit(None).cast("binary"))
-            .withColumn("page_lang", F.lit(None).cast("string"))
+        sched_side = (
+            F.broadcast(sched_cols)
+            if n_sched <= self.broadcast_rows_max
+            else sched_cols
         )
-        fetched = hits.unionByName(misses).select(
+        hits = pages.join(sched_side, "url", "inner").select(
             "url",
             "authority",
             "doc_type",
@@ -233,22 +265,63 @@ class CrawlRun:
         # of it OOMs the heap.  Parquet scratch gives every downstream
         # consumer (documents, seen, states, logs, metrics, expansion)
         # COLUMN-PRUNED reads — the slim consumers never touch the
-        # payload columns at all.
-        out_raw = fetched.mapInPandas(make_fetch_extract(self.as_of), EXTRACT_OUT)
-        if not self.store_content:
-            out_raw = out_raw.withColumn("content", F.lit(None).cast("binary"))
+        # payload columns at all.  store_content=False is applied inside
+        # the UDF so payload bytes never cross the Arrow boundary.
+        out_raw = hits.mapInPandas(
+            make_fetch_extract(self.as_of, self.store_content), EXTRACT_OUT
+        )
         scratch = os.path.join(self.state_dir, "scratch", f"round-{round_id}")
         out_raw.write.mode("overwrite").parquet(scratch)
-        out = spark.read.schema(EXTRACT_OUT).parquet(scratch)
+        out_hits = spark.read.schema(EXTRACT_OUT).parquet(scratch)
+
+        # miss recovery (P7): scheduled urls with no doc/log row in the
+        # round output were absent from pages.  Synthesized as pure
+        # relational rows — they never pass through Python at all.
+        hit_urls = out_hits.filter(F.col("out_kind") != "child").select("url")
+        miss_rows = sched_cols.join(F.broadcast(hit_urls), "url", "left_anti")
+        miss_out = miss_rows.select(
+            F.lit("log").alias("out_kind"),
+            "url",
+            F.col("url").alias("parent_url"),
+            "authority",
+            "doc_type",
+            "depth",
+            "priority",
+            "seq",
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("date").alias("release_date"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("binary").alias("content"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit("miss").alias("status"),
+            "doc_hash",
+            "raw_hash",
+        )
+        out = out_hits.unionByName(miss_out)
 
         # 4a. expansion: depth-0 listing children — URL-level dedupe
-        #     (Pagination.add_item + page_list memo, P5) via left-anti
-        #     join on url_hash vs everything already enqueued
+        #     (Pagination.add_item + page_list memo, P5): the sharded
+        #     url Bloom clears definitely-new urls without touching the
+        #     frontier; the residue is verified with a probe-shaped
+        #     anti-join (frontier scanned, never shuffled)
+        url_bloom_state = (
+            self.url_bloom.read(spark)
+            if self.use_bloom and self.url_bloom.current_snapshot_id() is not None
+            else None
+        )
+        seen_bloom_state = (
+            self.bloom.read(spark)
+            if self.use_bloom and self.bloom.current_snapshot_id() is not None
+            else None
+        )
+        enqueued_urls = frontier_df.select("url_hash")
         children = out.filter(F.col("out_kind") == "child")
-        listing_children = self._to_frontier_rows(
-            children.filter(F.col("depth") == 0)
-        ).dropDuplicates(["url_hash"]).join(
-            frontier_df.select("url_hash"), "url_hash", "left_anti"
+        listing_children = SN.dedupe_against_seen(
+            self._to_frontier_rows(
+                children.filter(F.col("depth") == 0)
+            ).dropDuplicates(["url_hash"]),
+            enqueued_urls,
+            url_bloom_state,
         )
 
         # 4b. expansion: depth-1 document candidates — X1 key + P3/P4
@@ -263,20 +336,26 @@ class CrawlRun:
             self._seen_for_p3(),
             frontier_df.filter(F.col("depth") == 1),
             self.run_id,
+            bloom_state=seen_bloom_state,
         )
 
         # 4c. expansion: depth-2 file children (keys inherited from parent)
-        file_children = self._to_frontier_rows(
-            children.filter(F.col("depth") == 2), keep_keys=True
-        ).dropDuplicates(["url_hash"]).join(
-            frontier_df.select("url_hash"), "url_hash", "left_anti"
+        file_children = SN.dedupe_against_seen(
+            self._to_frontier_rows(
+                children.filter(F.col("depth") == 2), keep_keys=True
+            ).dropDuplicates(["url_hash"]),
+            enqueued_urls,
+            url_bloom_state,
         )
 
         new_rows = listing_children.unionByName(admitted).unionByName(file_children)
 
         # 5. documents: depth-1 doc rows + decoded depth-2 files; within a
-        #    docpage, files >1 get '#<link_idx>' keys (fixtures oracle)
-        docs = out.filter(F.col("out_kind") == "doc").withColumn(
+        #    docpage, files >1 get '#<link_idx>' keys (fixtures oracle).
+        #    Derived from out_hits (not the union): misses are never docs,
+        #    and keeping the miss branch out of this plan stops Catalyst
+        #    constant-folding create_map(NULL,...) -> NULL_MAP_KEY.
+        docs = out_hits.filter(F.col("out_kind") == "doc").withColumn(
             "final_key",
             F.when(
                 (F.col("depth") == 2)
@@ -305,7 +384,7 @@ class CrawlRun:
         # 6. seen delta: every depth-1 docpage fetched OK registers its
         #    final key (oracle: run_final_keys.add after docpage fetch)
         seen_delta = (
-            out.filter(
+            out_hits.filter(
                 (F.col("depth") == 1)
                 & (F.col("status") == "ok")
                 & (F.col("out_kind").isin("doc", "log"))
@@ -375,14 +454,14 @@ class CrawlRun:
         )
 
         # -- stats (actions) --------------------------------------------------
-        # every scheduled row emits exactly one doc-or-log out row, so the
-        # per-authority scheduled count folds into the metrics aggregation
-        # (no separate count jobs); light_stats skips the driver-side
-        # counts entirely and reads them from metrics afterwards if needed
+        # n_sched was counted above (it also gates the broadcast hint);
+        # light_stats skips the remaining count jobs over the heavy
+        # round output — n_docs is recovered from the (tiny) metrics
+        # aggregation after commit, n_new/n_seen are reported as None
+        # (ADVICE: never a -1 sentinel in durable records)
         if self.light_stats:
-            n_sched = n_docs = n_new = n_seen = -1
+            n_docs = n_new = n_seen = None
         else:
-            n_sched = scheduled.count()
             n_docs = doc_rows.count()
             n_new = new_rows.count()
             n_seen = seen_delta.count()
@@ -423,26 +502,40 @@ class CrawlRun:
         )
 
         # -- commits (lineage last = commit point) ----------------------------
-        self.documents.append(doc_rows, note=f"round-{round_id}")
-        self.seen.append(seen_delta, note=f"round-{round_id}")
-        if self.use_bloom:
-            prior_bloom = self.bloom.read(spark)
-            self.bloom.overwrite(
-                SN.bloom_build(
-                    spark, seen_delta.select("url_hash"), prior_bloom,
-                    n_shards=self.n_shards,
-                ),
-                note=f"round-{round_id}",
-            )
-        self.fetch_log.append(log_rows, note=f"round-{round_id}")
-        self.frontier.overwrite(new_frontier, note=f"round-{round_id}")
-        self.metrics.append(met, note=f"round-{round_id}")
-        self._commit_lineage(round_id, fetched=n_sched, extracted=n_docs)
-
-        scheduled.unpersist()
-        import shutil
-
-        shutil.rmtree(scratch, ignore_errors=True)
+        try:
+            self.documents.append(doc_rows, note=f"round-{round_id}")
+            self.seen.append(seen_delta, note=f"round-{round_id}")
+            if self.use_bloom:
+                self._bloom_commit(
+                    self.bloom,
+                    delta=seen_delta.select("url_hash"),
+                    full=self.seen.read(spark).select("url_hash"),
+                    note=f"round-{round_id}",
+                )
+            self.fetch_log.append(log_rows, note=f"round-{round_id}")
+            self.frontier.overwrite(new_frontier, note=f"round-{round_id}")
+            if self.use_bloom:
+                self._bloom_commit(
+                    self.url_bloom,
+                    delta=new_rows.select("url_hash"),
+                    full=self.frontier.read(spark).select("url_hash"),
+                    note=f"round-{round_id}",
+                )
+            self.metrics.append(met, note=f"round-{round_id}")
+            if self.light_stats and n_docs is None:
+                # recover the doc count from the per-authority metrics
+                # aggregation (tiny table) instead of a second pass over
+                # the heavy round output
+                n_docs = int(
+                    self.metrics.read(spark)
+                    .filter(F.col("round_id") == round_id)
+                    .agg(F.coalesce(F.sum("fetched"), F.lit(0)).alias("n"))
+                    .collect()[0]["n"]
+                )
+            self._commit_lineage(round_id, fetched=n_sched, extracted=n_docs)
+        finally:
+            scheduled.unpersist()
+            shutil.rmtree(scratch, ignore_errors=True)
         return {
             "round": round_id,
             "scheduled": n_sched,
@@ -454,6 +547,39 @@ class CrawlRun:
 
     def _seen_for_p3(self) -> DataFrame:
         return self.seen.read(self.spark)
+
+    def _bloom_commit(
+        self, table: SnapshotTable, delta: DataFrame, full: DataFrame, note: str
+    ) -> None:
+        """Merge ``delta`` url_hashes into a sharded Bloom table, growing
+        it geometrically when any shard nears capacity (ROADMAP #7: a
+        fixed 1<<20 bitset caps out at ~10^6 hashes/shard).
+
+        The resize check reads only the 32 tiny state rows; a resize
+        rebuilds from ``full`` (all hashes) at the next power-of-two size
+        — an O(table) job that happens O(log n) times total, so the
+        amortized per-round cost stays O(round).
+        """
+        prior = None
+        cur_m, max_n = SN.DEFAULT_M_BITS, 0
+        if table.current_snapshot_id() is not None:
+            prior = table.read(self.spark)
+            stats = prior.select(
+                (F.length("bits") * 8).alias("m"), "n_items"
+            ).collect()
+            if stats:
+                cur_m = max(int(r["m"]) for r in stats)
+                max_n = max(int(r["n_items"]) for r in stats)
+        target = SN.bloom_target_bits(max_n)
+        if target > cur_m:
+            state = SN.bloom_build(
+                self.spark, full, None, n_shards=self.n_shards, m_bits=target
+            )
+        else:
+            state = SN.bloom_build(
+                self.spark, delta, prior, n_shards=self.n_shards, m_bits=cur_m
+            )
+        table.overwrite(state, note=note)
 
     def _to_frontier_rows(self, df: DataFrame, keep_keys: bool = False) -> DataFrame:
         canon = urls.canonicalize_simple(F.col("url"))

@@ -36,6 +36,40 @@ from .schema import SEEN_BLOOM
 
 DEFAULT_SHARDS = 32
 DEFAULT_K = 7
+DEFAULT_M_BITS = 1 << 20
+# auto-sizing: with k=7 double-hashed probes, m/n ≈ 14 bits/item keeps the
+# false-positive rate under ~1%; resize rebuilds are geometric (amortized
+# O(1) per item) — see bloom_target_bits + tests/test_seen.py
+BITS_PER_ITEM = 16
+
+
+def bloom_target_bits(max_items_per_shard: int, floor_bits: int = DEFAULT_M_BITS) -> int:
+    """Next power-of-two bitset size that keeps FP < ~1% at the given
+    per-shard cardinality (ROADMAP #7: fixed 1<<20 capped capacity)."""
+    need = max(floor_bits, BITS_PER_ITEM * max(int(max_items_per_shard), 1))
+    m = floor_bits
+    while m < need:
+        m <<= 1
+    return m
+
+
+def anti_join_probe(small: DataFrame, big: DataFrame, key: str) -> DataFrame:
+    """``small LEFT ANTI big ON key`` shaped so ``big`` is *scanned* but
+    never shuffled.
+
+    A plain left-anti can only broadcast its right (build) side — with a
+    10^10-row seen/frontier table on the right that degrades to a full
+    sort-merge shuffle of the big table every round.  Instead: probe big
+    with a broadcast LEFT SEMI to pull out just the matching key rows
+    (bounded by |small|), then broadcast-anti that tiny result back
+    against small.  Big moves through a column-pruned scan only; with
+    the table bucketed/sorted by ``key`` (Iceberg), the scan additionally
+    prunes to matching buckets via min/max stats.
+    """
+    present = big.select(key).join(
+        F.broadcast(small.select(key).distinct()), key, "left_semi"
+    )
+    return small.join(F.broadcast(present), key, "left_anti")
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -75,7 +109,7 @@ def bloom_build(
     new_hashes: DataFrame,
     prior_state: DataFrame | None = None,
     n_shards: int = DEFAULT_SHARDS,
-    m_bits: int = 1 << 20,
+    m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
 ) -> DataFrame:
     """Merge new url_hashes into per-shard Bloom bitsets.
@@ -83,6 +117,9 @@ def bloom_build(
     ``new_hashes`` needs a ``url_hash`` column; returns SEEN_BLOOM rows.
     Incremental: prior shard bitsets are OR-merged with the new hashes'
     bits inside one cogrouped applyInPandas (one pass, no collect).
+    ``m_bits`` only sizes *fresh* shards; existing shards keep their own
+    bitset size (derived from the stored bytes), so a caller can grow the
+    filter by rebuilding from the full hash set with a larger m_bits.
     """
     if prior_state is None:
         prior_state = spark.createDataFrame([], SEEN_BLOOM)
@@ -97,11 +134,13 @@ def bloom_build(
         if len(state_pdf):
             bits = np.frombuffer(state_pdf["bits"].iloc[0], dtype=np.uint8).copy()
             n_items = int(state_pdf["n_items"].iloc[0])
+            m = len(bits) << 3  # shard's own size wins over the param
         else:
             bits = np.zeros(m_bits >> 3, dtype=np.uint8)
             n_items = 0
+            m = m_bits
         if len(new_pdf):
-            idx = _bit_indexes(new_pdf["url_hash"].to_numpy(np.int64), m_bits, k)
+            idx = _bit_indexes(new_pdf["url_hash"].to_numpy(np.int64), m, k)
             _set_bits(bits, idx.ravel())
             n_items += len(new_pdf)
         return pd.DataFrame(
@@ -120,13 +159,14 @@ def bloom_flag(
     state: DataFrame,
     hash_col: str = "url_hash",
     n_shards: int = DEFAULT_SHARDS,
-    m_bits: int = 1 << 20,
     k: int = DEFAULT_K,
 ) -> DataFrame:
     """Add ``maybe_seen boolean`` to candidates via the sharded Bloom.
 
     Cogrouped by shard so each group sees exactly one bitset copy (the
-    bitset is never replicated per row, only per shard-group).
+    bitset is never replicated per row, only per shard-group).  Each
+    shard's m_bits is derived from its stored bitset length, so shards
+    resized at different times still probe correctly.
     """
     from pyspark.sql import types as T
 
@@ -146,7 +186,7 @@ def bloom_flag(
             out["maybe_seen"] = False
             return out
         bits = np.frombuffer(state_pdf["bits"].iloc[0], dtype=np.uint8)
-        idx = _bit_indexes(cand_pdf[hash_col].to_numpy(np.int64), m_bits, k)
+        idx = _bit_indexes(cand_pdf[hash_col].to_numpy(np.int64), len(bits) << 3, k)
         out["maybe_seen"] = _test_bits(bits, idx)
         return out
 
@@ -166,14 +206,17 @@ def dedupe_against_seen(
 ) -> DataFrame:
     """Rows of ``candidates`` whose ``url_hash`` is not in ``seen``.
 
-    With Bloom state: definitely-new rows bypass the anti-join shuffle;
-    only suspected rows join.  Without: plain left-anti join (still the
-    authoritative path — Bloom is an optimization, never the truth).
+    With Bloom state: definitely-new rows bypass membership checking
+    entirely; only the (true-dup + false-positive) residue is verified
+    exactly — via :func:`anti_join_probe`, so the big ``seen`` side is
+    scanned, never shuffled.  Without Bloom: the probe-shaped anti-join
+    alone (still the authoritative path — Bloom is an optimization,
+    never the truth).
     """
     if bloom_state is None:
-        return candidates.join(seen.select(hash_col), on=hash_col, how="left_anti")
+        return anti_join_probe(candidates, seen, hash_col)
     flagged = bloom_flag(candidates, bloom_state, hash_col=hash_col, **bloom_kw)
     fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspected = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    survived = suspected.join(seen.select(hash_col), on=hash_col, how="left_anti")
+    survived = anti_join_probe(suspected, seen, hash_col)
     return fresh.unionByName(survived)
