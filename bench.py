@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh",
     "ann_ivf",
+    "emb_neardup_lsh",
     "multimodal_decode",
     "citations",
     "keywords_topk",

@@ -188,12 +188,40 @@ def minhash_signatures(
     )
 
 
+def _cap_band_buckets(
+    bands: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """Drop band buckets holding more than ``max_bucket`` members.
+
+    A planted cluster of m near-identical docs lands all m in one band
+    bucket -> O(m^2) candidate pairs inside it (VERDICT round 1 skew
+    note).  At scale a giant bucket is almost always boilerplate (empty
+    pages, templates) rather than meaningful near-dups; capping bounds
+    the join output at O(buckets * max_bucket^2).  Dropped buckets are
+    logged so the cap is never silent.
+    """
+    import logging
+
+    sizes = bands.groupBy(*keys).agg(F.count("*").alias("__n"))
+    big = sizes.filter(F.col("__n") > max_bucket).select(*keys, "__n")
+    dropped = big.agg(
+        F.count("*").alias("buckets"), F.coalesce(F.sum("__n"), F.lit(0)).alias("rows")
+    ).collect()[0]
+    if dropped["buckets"]:
+        logging.getLogger(__name__).warning(
+            "band-bucket cap %d dropped %d oversized buckets (%d member rows)",
+            max_bucket, dropped["buckets"], dropped["rows"],
+        )
+    return bands.join(F.broadcast(big.select(*keys)), keys, "left_anti")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 3,
     n_hashes: int = 16,
     n_bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -222,6 +250,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band_idx", "bk.band_key")
+    if max_bucket is not None:
+        bands = _cap_band_buckets(bands, ["band_idx", "band_key"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["band_idx", "band_key"])
@@ -291,7 +321,11 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def simhash_pairs(
-    docs: DataFrame, bits: int = 32, n_bands: int = 4, max_hamming: int = 3
+    docs: DataFrame,
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -316,6 +350,8 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band_idx", "bk.band_val")
+    if max_bucket is not None:
+        bands = _cap_band_buckets(bands, ["band_idx", "band_val"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band_idx", "band_val"])

@@ -117,7 +117,12 @@ REGISTRY: dict[str, dict] = {
         "item_date_selector": "span.date",
         "item_link_selector": "h3 a",
         "date_format": "%Y-%m-%d",
-        "pagination": "computed",  # F3: synthesize range(2, n+1)
+        # F3 for real: read the LAST page number off a truncated pager
+        # (1 2 3 … N — most pages have no href on it) and synthesize
+        # every page URL from the current page's url pattern
+        # (``pygdpr/models/dpa/italy/__init__.py:28-60``: num_pages from
+        # li_page_list[-2], then ``range(1, num_pages+1)``).
+        "pagination": "computed",
         "pagination_selector": "ul.pagination li.page-item a",
         "retention": "window",
         "body_selector": "div.post-content",
@@ -125,7 +130,161 @@ REGISTRY: dict[str, dict] = {
         "depth2_selector": None,
         "politeness_delay_s": 0.0,
     },
+    "italy_news": {
+        # the reverse computed variant — update_pagination_backwards,
+        # ``pygdpr/models/dpa/italy/__init__.py:63-95``: same synthesized
+        # URL set, pages visited last-to-first.  Final documents/seen are
+        # identical either way (seq encodes the page number); only the
+        # pagination cursor order flips, which the oracle replays.
+        "lang": "it",
+        "listing_item_selector": "div.post",
+        "item_title_selector": "h3 a",
+        "item_date_selector": "span.date",
+        "item_link_selector": "h3 a",
+        "date_format": "%Y-%m-%d",
+        "pagination": "computed",
+        "computed_reverse": True,
+        "pagination_selector": "ul.pagination li.page-item a",
+        "retention": "window",
+        "body_selector": "div.post-content",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 0.0,
+    },
+    "romania": {
+        # positional <p> stream with link look-ahead
+        # (``pygdpr/models/dpa/romania/__init__.py:61-100``): items are
+        # not containers — a date-parseable <p> starts an item, the next
+        # <p> is the title, and the link is found by scanning up to 4
+        # <p>s ahead for the first <a>.
+        "lang": "ro",
+        "listing_mode": "positional_p",
+        "listing_container_selector": "div#rectangle_scroll",
+        "date_format": "%d/%m/%Y",
+        "pagination": "next",
+        "pagination_selector": "ul.Pages li.next a",
+        "retention": "window",
+        "body_selector": "div.article-body",
+        "body_strip": "strip",
+        "depth2_selector": None,
+        "politeness_delay_s": 0.0,
+    },
+    "croatia": {
+        # locale (hr) date parsing — the reference calls
+        # ``dateparser.parse(date_str, languages=['hr'])``
+        # (``pygdpr/models/dpa/croatia/__init__.py:92``); here a
+        # deterministic month-name table stands in (X7 locale branch).
+        "lang": "hr",
+        "listing_item_selector": "article.post",
+        "item_title_selector": "h2.entry-title a",
+        "item_date_selector": "p.post-meta span.published",
+        "item_link_selector": "h2.entry-title a",
+        "date_format": "locale %d. %B %Y.",
+        "pagination": "next",
+        "pagination_selector": "ul.Pages li.next a",
+        "retention": "window",
+        "body_selector": "div.entry-content",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 0.0,
+    },
+    "united_kingdom": {
+        # pdf-gated search results + DOCX notices
+        # (``pygdpr/models/dpa/united_kingdom/__init__.py:100-145``):
+        # the item link's *title attribute* carries the document URL, a
+        # non-.pdf/.docx href is skipped pre-fetch (P6 MIME gate), the
+        # date is the text before the first comma (dateparser 'en'),
+        # and the document IS the binary file (no docpage hop;
+        # DOCX variant at :468-486 → docx2txt).
+        "lang": "en",
+        "listing_item_selector": "div.resultlist div.itemlink",
+        "item_title_selector": "a h2.h3",
+        "item_date_selector": "p.text-small",
+        "item_link_selector": "a",
+        "item_link_attr": "title",
+        "date_split_comma": True,
+        "date_format": "%d %B %Y",
+        "link_gate": r"\.(pdf|docx)$",
+        "doc_is_file": True,
+        "pagination": "next",
+        "pagination_selector": "ul.Pages li.next a",
+        "retention": "window",
+        "body_selector": "div.article-body",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 5.0,  # time.sleep(5), united_kingdom:217
+    },
+    "belgium": {
+        # annual-report flow (``pygdpr/models/dpa/belgium/__init__.py:
+        # 595-661``): listing links straight to .pdf/.zip files; the
+        # title is href[-23:-4], the year href[-8:-4] gates retention
+        # (year2018), zips explode to concatenated member html text (X6).
+        "lang": "fr",
+        "listing_mode": "href_files",
+        "listing_item_selector": "div.expanded a",
+        "link_gate": r"\.(pdf|zip)$",
+        "date_format": "%Y",
+        "doc_is_file": True,
+        "pagination": "next",
+        "pagination_selector": "ul.Pages li.next a",
+        "retention": "year2018",
+        "body_selector": "div.article-body",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 5.0,  # time.sleep(5), belgium:106
+    },
+    "edpb": {
+        # "final version after public consultation" alert redirect
+        # (``pygdpr/models/dpa/edpb/__init__.py:290-352``): the docpage
+        # either links its pdf directly (article div.col-sm-2 a) or
+        # carries a div.alert whose link leads to a SECOND html page
+        # that holds the pdf link — a depth-2 html redirect hop the
+        # engine models as a depth-3 child with the parent's seq.
+        "lang": "en",
+        "listing_item_selector": "div.views-row",
+        "item_title_selector": "h3 a",
+        "item_date_selector": "span.date",
+        "item_link_selector": "h3 a",
+        "date_format": "%d %B %Y",
+        "pagination": "next",
+        "pagination_selector": "ul.Pages li.next a",
+        "retention": "window",
+        "body_selector": "article.edpb-article",
+        "body_strip": None,
+        "depth2_selector": "article.edpb-article div.col-sm-2 a",
+        "alert_selector": "article.edpb-article div.alert a",
+        "redirect_selector": "article.edpb-article div.col-sm-2 a",
+        "depth2_href_filter": r".",  # any href the selectors yield
+        "politeness_delay_s": 0.0,
+    },
+    "czech_republic": {
+        # File.ashx attachment links on the docpage
+        # (``pygdpr/models/dpa/czech_republic/__init__.py:190-216``):
+        # only hrefs containing 'File.ashx' are downloads (pdf bytes).
+        "lang": "cs",
+        "listing_item_selector": "div.item-list div.item",
+        "item_title_selector": "a.item-title",
+        "item_date_selector": "span.date",
+        "item_link_selector": "a.item-title",
+        "date_format": "%d.%m.%Y",
+        "pagination": "next",
+        "pagination_selector": "ul.Pages li.next a",
+        "retention": "window",
+        "body_selector": "div.news-body",
+        "body_strip": None,
+        "depth2_selector": "div.news-body a",
+        "depth2_href_filter": r"File\.ashx",
+        "politeness_delay_s": 0.0,
+    },
 }
+
+# deterministic stand-in for dateparser's 'hr' locale (X7): Croatian
+# month names in the genitive form dates are written in
+HR_MONTHS = (
+    "siječnja", "veljače", "ožujka", "travnja", "svibnja", "lipnja",
+    "srpnja", "kolovoza", "rujna", "listopada", "studenoga", "prosinca",
+)
+LOCALE_MONTHS: dict[str, tuple[str, ...]] = {"hr": HR_MONTHS}
 
 GDPR_DATE = date(2018, 5, 25)  # pygdpr/policies/gdpr_policy.py:3-5
 
@@ -141,15 +300,35 @@ def cfg_of(authority: str) -> dict:
     return REGISTRY[authority]
 
 _ORDINAL_RE = re.compile(r"(\d+)(st|nd|rd|th)")
+_LOCALE_DATE_RE = re.compile(r"(\d{1,2})\.?\s+([^\s\d.]+)\s+(\d{4})")
 
 
 def parse_date_str(authority: str, s: str) -> date | None:
     """X7: per-authority date parsing (6 fixed formats in the reference;
-    ordinal strip per pygdpr/models/dpa/ireland/__init__.py:150-159)."""
+    ordinal strip per pygdpr/models/dpa/ireland/__init__.py:150-159;
+    'locale' formats replace ``dateparser.parse(..., languages=[lc])``
+    calls — pygdpr/models/dpa/croatia/__init__.py:92,
+    united_kingdom/__init__.py:108 — with a deterministic month-name
+    table for the authority's language)."""
     if s is None:
         return None
     s = s.strip()
-    fmt = cfg_of(authority)["date_format"]
+    cfg = cfg_of(authority)
+    fmt = cfg["date_format"]
+    if cfg.get("date_split_comma"):
+        s = s.split(",")[0].strip()
+    if fmt.startswith("locale "):
+        months = LOCALE_MONTHS.get(cfg["lang"])
+        m = _LOCALE_DATE_RE.search(s)
+        if not m or months is None:
+            return None
+        name = m.group(2).lower()
+        if name not in months:
+            return None
+        try:
+            return date(int(m.group(3)), months.index(name) + 1, int(m.group(1)))
+        except ValueError:
+            return None
     if fmt.startswith("ordinal "):
         s = _ORDINAL_RE.sub(r"\1", s)
         fmt = fmt[len("ordinal "):]
@@ -181,43 +360,128 @@ def retained(authority: str, d: date | None, as_of: date) -> bool:
 # ---------------------------------------------------------------------------
 
 
+_PAGE_PARAM_RE = re.compile(r"(page=)\d+")
+
+
 def parse_listing(authority: str, page_url: str, html_text: str) -> dict:
     """Parse a depth-0 listing page.
 
     Returns {"items": [(title, date_str, abs_href)], "next_pages":
     [(abs_href, page_no|None)]} in DOM document order (the order the
     reference's for-loops see — SURVEY.md §3.3).
+
+    Listing modes (cfg["listing_mode"]):
+
+    - "items" (default) — one container element per item with title /
+      date / link selectors; cfg["item_link_attr"] picks the attribute
+      carrying the URL (UK uses the <a> *title* attribute,
+      united_kingdom/__init__.py:134) and cfg["link_gate"] is the P6
+      pre-fetch MIME gate (skip non-matching hrefs, :135-137).
+    - "positional_p" — romania's flat <p> stream: a date-parseable <p>
+      opens an item, the next <p> is the title, and the link is the
+      first <a> found scanning up to 4 <p>s ahead
+      (romania/__init__.py:61-100).
+    - "href_files" — belgium's file listing: every gated href IS the
+      document; title = href[-23:-4], year = href[-8:-4]
+      (belgium/__init__.py:604-618).
     """
     cfg = cfg_of(authority)
     root = parse_html(html_text)
+    gate = cfg.get("link_gate")
     items: list[tuple[str, str, str]] = []
-    for el in root.select(cfg["listing_item_selector"]):
-        a = el.select_one(cfg["item_title_selector"])
-        d = el.select_one(cfg["item_date_selector"])
-        if a is None or d is None:
-            continue  # reference asserts selector hits; we skip+log
-        href = a.get("href")
-        if not href:
-            continue
-        items.append(
-            (a.get_text(), d.get_text().strip(), canonicalize_one(href, page_url))
-        )
+    mode = cfg.get("listing_mode", "items")
+    if mode == "positional_p":
+        container = root.select_one(cfg["listing_container_selector"])
+        p_all = container.find_all("p") if container is not None else []
+        for i in range(1, len(p_all)):
+            date_str = p_all[i].get_text().strip()
+            if parse_date_str(authority, date_str) is None:
+                continue  # not an item-opening <p>
+            if i + 1 >= len(p_all):
+                continue
+            title = p_all[i + 1].get_text().strip()
+            link = None
+            j = 0
+            while link is None and i + j < len(p_all):
+                link = p_all[i + j].find("a")
+                if j == 4:
+                    break
+                j += 1
+            href = link.get("href") if link is not None else None
+            if not href:
+                continue
+            items.append((title, date_str, canonicalize_one(href, page_url)))
+    elif mode == "href_files":
+        for a in root.select(cfg["listing_item_selector"]):
+            href = a.get("href")
+            if not href or (gate and not re.search(gate, href)):
+                continue
+            items.append(
+                (href[-23:-4], href[-8:-4], canonicalize_one(href, page_url))
+            )
+    else:
+        link_attr = cfg.get("item_link_attr", "href")
+        for el in root.select(cfg["listing_item_selector"]):
+            a = el.select_one(cfg["item_title_selector"])
+            d = el.select_one(cfg["item_date_selector"])
+            if a is None or d is None:
+                continue  # reference asserts selector hits; we skip+log
+            link_el = (
+                a
+                if cfg.get("item_link_selector") == cfg["item_title_selector"]
+                else el.select_one(cfg["item_link_selector"])
+            )
+            href = link_el.get(link_attr) if link_el is not None else None
+            if not href:
+                continue
+            if gate and not re.search(gate, href):
+                continue  # P6: wrong mimetype, skipped before any fetch
+            items.append(
+                (
+                    a.get_text().strip() if cfg.get("doc_is_file") else a.get_text(),
+                    d.get_text().strip(),
+                    canonicalize_one(href, page_url),
+                )
+            )
     next_pages: list[tuple[str, int | None]] = []
     kind = cfg["pagination"]
     if kind == "next":
         nxt = root.select_one(cfg["pagination_selector"])
         if nxt is not None and nxt.get("href"):
             next_pages.append((canonicalize_one(nxt.get("href"), page_url), None))
-    elif kind in ("all", "computed"):
-        # 'all' collects every pager link at once; 'computed' reads the
-        # last page number then synthesizes the URLs — by fixture
-        # construction the pager carries hrefs for every page, so both
-        # reduce to reading the pager links with their page numbers.
+    elif kind == "all":
+        # F2: collect every pager link at once (hrefs present for all)
         for a in root.select(cfg["pagination_selector"]):
             href, txt = a.get("href"), a.get_text().strip()
             if href and txt.isdigit():
                 next_pages.append((canonicalize_one(href, page_url), int(txt)))
+    elif kind == "computed":
+        # F3: the pager may be truncated (1 2 3 … N) with most entries
+        # unlinked — read the LAST page number (italy/__init__.py:46-49
+        # takes li_page_list[-2]) and synthesize every page URL from the
+        # current page's url pattern, range(1, n+1)
+        # (update_pagination, :51-55) or reversed
+        # (update_pagination_backwards, :63-95).
+        nums = [
+            int(a.get_text().strip())
+            for a in root.select(cfg["pagination_selector"])
+            if a.get_text().strip().isdigit()
+        ]
+        if nums:
+            n_pages = max(nums)
+            rng = (
+                range(n_pages, 0, -1)
+                if cfg.get("computed_reverse")
+                else range(1, n_pages + 1)
+            )
+            for num in rng:
+                next_pages.append(
+                    (_PAGE_PARAM_RE.sub(rf"\g<1>{num}", page_url), num)
+                )
     return {"items": items, "next_pages": next_pages}
+
+
+DEFAULT_DEPTH2_FILTER = r"\.pdf$|finlex"  # pygdpr/models/dpa/finland/__init__.py:113-199
 
 
 def parse_docpage(authority: str, page_url: str, html_text: str) -> dict:
@@ -225,6 +489,13 @@ def parse_docpage(authority: str, page_url: str, html_text: str) -> dict:
 
     Text = bs4-style ``get_text()`` of the per-authority body container
     with the reference's lstrip/strip variant (X2 citations).
+
+    Depth-2 file links obey the per-authority href filter
+    (cfg["depth2_href_filter"], e.g. czech 'File.ashx' —
+    czech_republic/__init__.py:195).  EDPB's alert redirect
+    (edpb/__init__.py:293-307) takes precedence over the direct pdf
+    link: when div.alert is present its target — an html page holding
+    the real pdf link — becomes the (sole) depth-2 child.
     """
     cfg = cfg_of(authority)
     root = parse_html(html_text)
@@ -235,13 +506,40 @@ def parse_docpage(authority: str, page_url: str, html_text: str) -> dict:
     elif cfg["body_strip"] == "lstrip":
         text = text.lstrip()
     file_links: list[str] = []
+    alert_sel = cfg.get("alert_selector")
+    if alert_sel:
+        alert_a = root.select_one(alert_sel)
+        if alert_a is not None and alert_a.get("href"):
+            return {
+                "text": text,
+                "file_links": [canonicalize_one(alert_a.get("href"), page_url)],
+            }
     if cfg["depth2_selector"]:
+        flt = cfg.get("depth2_href_filter", DEFAULT_DEPTH2_FILTER)
         for a in root.select(cfg["depth2_selector"]):
             href = a.get("href")
-            if href and (href.endswith(".pdf") or "finlex" in href):
-                # pygdpr/models/dpa/finland/__init__.py:113-199
+            if href and re.search(flt, href):
                 file_links.append(canonicalize_one(href, page_url))
     return {"text": text, "file_links": file_links}
+
+
+def parse_redirect(authority: str, page_url: str, html_text: str) -> str | None:
+    """EDPB alert page -> the final pdf URL (edpb/__init__.py:309-340):
+    the redirect page's article holds the download link."""
+    cfg = cfg_of(authority)
+    sel = cfg.get("redirect_selector")
+    if not sel:
+        return None
+    a = parse_html(html_text).select_one(sel)
+    if a is None or not a.get("href"):
+        return None
+    return canonicalize_one(a.get("href"), page_url)
+
+
+def looks_like_html(content: bytes) -> bool:
+    """Deterministic html-vs-binary gate for depth-2 redirect pages."""
+    head = content[:256].lstrip()
+    return head.startswith(b"<!") or head.startswith(b"<html")
 
 
 # -- file decoders (X3-X6) ---------------------------------------------------
@@ -250,19 +548,44 @@ FAKE_PDF_HEADER = b"%PDF-FAKE1.4\n%%TEXT\n"
 FAKE_DOCX_HEADER = b"PK-FAKEDOCX\n"
 
 
+def ocr_pdf(content: bytes) -> str:
+    """X3 lazy-expensive branch: OCR for scanned pdfs whose text layer is
+    empty (pygdpr/services/pdf_to_text_service.py:26-60 — pdf2image +
+    pytesseract, page by page).  Only entered when the cheap text
+    extraction came back empty, mirroring the reference's structure."""
+    try:  # pragma: no cover — OCR libs absent in this sandbox
+        import pdf2image  # noqa: F401
+        import pytesseract  # noqa: F401
+
+        raise NotImplementedError("wire pdf2image+pytesseract here on a full image")
+    except ImportError:
+        raise NotImplementedError(
+            "OCR fallback requires pdf2image/pytesseract (not in sandbox)"
+        )
+
+
 def decode_pdf(content: bytes) -> str:
-    """X3: pdfminer -> OCR fallback in the reference
-    (pygdpr/services/pdf_to_text_service.py:63-88).  Here: import-try
-    pdfminer, else decode the deterministic fake container."""
+    """X3: pdfminer -> OCR fallback when the text layer is empty
+    (pygdpr/services/pdf_to_text_service.py:26-60,83-88).  Here:
+    import-try pdfminer, else decode the deterministic fake container;
+    either way an empty result falls through to :func:`ocr_pdf`."""
+    text = None
     try:  # pragma: no cover
         from pdfminer.high_level import extract_text as _pdf_extract
 
-        return _pdf_extract(io.BytesIO(content)).strip()
+        text = _pdf_extract(io.BytesIO(content)).strip()
     except ImportError:
         pass
-    if content.startswith(FAKE_PDF_HEADER):
-        return content[len(FAKE_PDF_HEADER):].decode("utf-8")
-    raise NotImplementedError("real PDF decoding requires pdfminer (not in sandbox)")
+    if text is None:
+        if content.startswith(FAKE_PDF_HEADER):
+            text = content[len(FAKE_PDF_HEADER):].decode("utf-8")
+        else:
+            raise NotImplementedError(
+                "real PDF decoding requires pdfminer (not in sandbox)"
+            )
+    if not text.strip():
+        return ocr_pdf(content)  # scanned pdf: no text layer
+    return text
 
 
 def decode_docx(content: bytes) -> str:
@@ -469,6 +792,29 @@ def make_fetch_extract(as_of: date, store_content: bool = True):
                             "status": "ok",
                         }
                     )
+                elif int(r.depth) == 1 and cfg_of(r.authority).get("doc_is_file"):
+                    # UK / belgium: the depth-1 target IS the binary
+                    # document (united_kingdom/__init__.py:135-145,
+                    # belgium/__init__.py:604-661) — decode, no docpage hop
+                    try:
+                        text = decode_file(r.url, html_bytes)
+                        status = "ok"
+                    except NotImplementedError:
+                        text, status = None, "decode_unsupported"
+                    rows.append(
+                        base
+                        | {
+                            "out_kind": "doc" if status == "ok" else "log",
+                            "url": r.url,
+                            "depth": 1,
+                            "seq": int(r.seq),
+                            "title": r.title,
+                            "release_date": r.release_date,
+                            "text": text,
+                            "content": html_bytes if store_content else None,
+                            "status": status,
+                        }
+                    )
                 elif int(r.depth) == 1:
                     parsed = parse_docpage(
                         r.authority, r.url, html_bytes.decode("utf-8")
@@ -517,7 +863,44 @@ def make_fetch_extract(as_of: date, store_content: bool = True):
                                 "status": "ok",
                             }
                         )
-                else:  # depth 2: binary file
+                elif (
+                    int(r.depth) == 2
+                    and cfg_of(r.authority).get("redirect_selector")
+                    and looks_like_html(html_bytes)
+                ):
+                    # EDPB alert redirect hop (edpb/__init__.py:309-340):
+                    # the depth-2 page is html holding the real pdf link;
+                    # emit a depth-3 child carrying the parent's seq
+                    # (1:1 redirect keeps the crawl-order key unique)
+                    target = parse_redirect(
+                        r.authority, r.url, html_bytes.decode("utf-8")
+                    )
+                    if target:
+                        rows.append(
+                            base
+                            | {
+                                "out_kind": "child",
+                                "url": target,
+                                "depth": 3,
+                                "seq": int(r.seq),
+                                "title": r.title,
+                                "release_date": r.release_date,
+                                "status": "ok",
+                            }
+                        )
+                    rows.append(
+                        base
+                        | {
+                            "out_kind": "log",
+                            "url": r.url,
+                            "depth": 2,
+                            "seq": int(r.seq),
+                            "title": r.title,
+                            "release_date": r.release_date,
+                            "status": "ok" if target else "redirect_parse_failed",
+                        }
+                    )
+                else:  # depth >= 2: binary file
                     try:
                         text = decode_file(r.url, html_bytes)
                         status = "ok"
@@ -528,7 +911,7 @@ def make_fetch_extract(as_of: date, store_content: bool = True):
                         | {
                             "out_kind": "doc" if status == "ok" else "log",
                             "url": r.url,
-                            "depth": 2,
+                            "depth": int(r.depth),
                             "seq": int(r.seq),
                             "title": r.title,
                             "release_date": r.release_date,

@@ -35,6 +35,9 @@ import pyarrow.parquet as pq
 from . import extract as X
 
 AS_OF = date(2024, 1, 15)  # frozen 'today' for the retention window (P1)
+# bump when fixture layout changes: fixture_dir() regenerates cached dirs
+# whose marker carries a different version
+FIXTURE_VERSION = "v2"
 CDN_HOST = "cdn.example.eu"
 HOSTS = {
     "austria": "www.dsb.gv.at",
@@ -42,7 +45,29 @@ HOSTS = {
     "denmark": "www.datatilsynet.dk",
     "finland": "tietosuoja.fi",
     "italy": "www.garanteprivacy.it",
+    "italy_news": "www.garanteprivacy.it",  # reverse-pagination feed, same DPA
+    "romania": "www.dataprotection.ro",
+    "croatia": "azop.hr",
+    "united_kingdom": "ico.org.uk",
+    "belgium": "www.autoriteprotectiondonnees.be",
+    "edpb": "edpb.europa.eu",
+    "czech_republic": "www.uoou.cz",
 }
+
+BASE_AUTHORITIES = (
+    "austria", "ireland", "denmark", "finland", "italy", "italy_news",
+    "romania", "croatia", "united_kingdom", "belgium", "edpb",
+    "czech_republic",
+)
+
+
+def base_auth(a: str) -> str:
+    """Resolve wide-profile clone names (austria_7 -> austria)."""
+    if a in X.REGISTRY:
+        return a
+    head, _, tail = a.rpartition("_")
+    return head if tail.isdigit() and head in X.REGISTRY else a
+
 
 def host_for(a: str) -> str:
     """Host of an authority; clone authorities get their own host so the
@@ -52,7 +77,9 @@ def host_for(a: str) -> str:
 
 
 def wide_authorities(width: int) -> tuple[str, ...]:
-    """width clones of each base authority -> 5*width crawl chains."""
+    """width clones of each of the 5 original authority shapes -> 5*width
+    crawl chains (kept at 5 so bench numbers stay comparable across
+    rounds; the 12-shape coverage runs through the sf profiles)."""
     base = ("austria", "ireland", "denmark", "finland", "italy")
     return tuple(f"{a}_{i}" for i in range(width) for a in base)
 
@@ -90,11 +117,15 @@ def _doc_date(authority: str, p: int, i: int) -> date:
 
 
 def _fmt(authority: str, d: date) -> str:
-    fmt = X.cfg_of(authority)["date_format"]
+    cfg = X.cfg_of(authority)
+    fmt = cfg["date_format"]
     if fmt.startswith("ordinal "):
         day = d.day
         sfx = "th" if 11 <= day % 100 <= 13 else {1: "st", 2: "nd", 3: "rd"}.get(day % 10, "th")
         return f"{day}{sfx} {d.strftime('%B %Y')}"
+    if fmt.startswith("locale "):
+        months = X.LOCALE_MONTHS[cfg["lang"]]
+        return f"{d.day}. {months[d.month - 1]} {d.year}."
     return d.strftime(fmt)
 
 
@@ -119,12 +150,91 @@ def file_url(a: str, p: int, i: int, j: int) -> str:
     return f"https://{CDN_HOST}/files/{a}/{p}-{i}-{j}.pdf"
 
 
+def uk_file_url(a: str, p: int, i: int) -> str:
+    """UK item target: the binary document itself (pdf / docx notices),
+    with an occasional non-gated .html hit the P6 gate must skip."""
+    ext = ".docx" if i % 5 == 0 else (".html" if i % 6 == 3 else ".pdf")
+    return f"https://{host_for(a)}/media/{a}/{p}-{i}{ext}"
+
+
+def be_file_url(a: str, p: int, i: int) -> str:
+    """Belgium annual-report href: layout satisfies the reference's
+    title = href[-23:-4] and year = href[-8:-4] slices."""
+    year = _doc_date(a, p, i).year
+    h8 = hashlib.md5(f"be/{a}/{p}/{i}".encode()).hexdigest()[:8]
+    ext = ".zip" if i % 4 == 0 else ".pdf"
+    return f"https://{host_for(a)}/publications/rep-{h8}-{p}{i:02d}-{year}{ext}"
+
+
+def edpb_alert_url(a: str, p: int, i: int) -> str:
+    return f"https://{host_for(a)}/{a}/alert/{p}-{i}.html"
+
+
+def edpb_pdf_url(a: str, p: int, i: int) -> str:
+    return f"https://{host_for(a)}/{a}/files/{p}-{i}.pdf"
+
+
+def cz_file_url(a: str, p: int, i: int, j: int) -> str:
+    return f"https://{host_for(a)}/media/File.ashx?id={a}-{p}-{i}-{j}"
+
+
+def _be_zip_bytes(a: str, p: int, i: int) -> bytes:
+    """Real zip of html members (belgium/__init__.py:655-661 explode)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for m in (1, 2):
+            body = _para_text(a, p, i).replace("\n", " ")
+            z.writestr(
+                f"part{m}.html",
+                f"<html><body><p>Rapport {m}: {body}</p></body></html>",
+            )
+    return buf.getvalue()
+
+
 def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
     cfg = X.cfg_of(a)
+    b = base_auth(a)
     rows = []
+    # listing shapes without per-item containers first
+    if b == "romania":
+        # flat <p> stream: date-p, title-p, (optional noise-p), link-p —
+        # exercises the look-ahead scan (romania/__init__.py:91-98)
+        ps = ["<p>Lista deciziilor emise</p>"]
+        for i in range(1, n_items + 1):
+            t, d, href = _title(a, k, i), _fmt(a, _doc_date(a, k, i)), doc_url(a, k, i)
+            ps.append(f"<p>{d}</p>")
+            ps.append(f"<p>{t}</p>")
+            if i % 3 == 0:
+                ps.append("<p>Detalii suplimentare</p>")
+            ps.append(f'<p><a href="{href}">Descarca</a></p>')
+        body = f'<div id="rectangle_scroll">{"".join(ps)}</div>'
+        pager = ""
+        if k < n_pages:
+            pager = (
+                f'<ul class="Pages"><li class="next">'
+                f'<a href="{list_url(a, k + 1)}">Next</a></li></ul>'
+            )
+        return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
+    if b == "belgium":
+        links = "".join(
+            f'<a href="{be_file_url(a, k, i)}">Jaarverslag {k}-{i}</a>'
+            for i in range(1, n_items + 1)
+        )
+        # one non-file link the .pdf|.zip gate must skip (belgium:604)
+        links += f'<a href="https://{host_for(a)}/{a}/about.html">Over ons</a>'
+        body = f'<div class="expanded">{links}</div>'
+        pager = ""
+        if k < n_pages:
+            pager = (
+                f'<ul class="Pages"><li class="next">'
+                f'<a href="{list_url(a, k + 1)}">Next</a></li></ul>'
+            )
+        return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
     for i in range(1, n_items + 1):
         t, d, href = _title(a, k, i), _fmt(a, _doc_date(a, k, i)), doc_url(a, k, i)
-        b = a.rsplit("_", 1)[0] if a not in HOSTS else a
         if b == "austria":
             rows.append(
                 f'<tr class="bocListDataRow"><td>{k}</td>'
@@ -146,7 +256,30 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
                 f'<li class="list__item"><a class="result-link" href="{href}">{t}</a>'
                 f'<span class="date">{d}</span></li>'
             )
-        else:  # italy
+        elif b == "croatia":
+            rows.append(
+                f'<article class="post"><p class="post-meta">'
+                f'<span class="published">{d}</span></p>'
+                f'<h2 class="entry-title"><a href="{href}">{t}</a></h2></article>'
+            )
+        elif b == "united_kingdom":
+            target = uk_file_url(a, k, i)
+            rows.append(
+                f'<div class="itemlink"><a title="{target}" href="#">'
+                f'<h2 class="h3">{t}</h2></a>'
+                f'<p class="text-small">{d}, Enforcement notices</p></div>'
+            )
+        elif b == "edpb":
+            rows.append(
+                f'<div class="views-row"><h3><a href="{href}">{t}</a></h3>'
+                f'<span class="date">{d}</span></div>'
+            )
+        elif b == "czech_republic":
+            rows.append(
+                f'<div class="item"><a class="item-title" href="{href}">{t}</a>'
+                f'<span class="date">{d}</span></div>'
+            )
+        else:  # italy / italy_news
             rows.append(
                 f'<div class="post"><h3><a href="{href}">{t}</a></h3>'
                 f'<span class="date">{d}</span></div>'
@@ -156,44 +289,97 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
         "ireland": '<div class="view-content"><div class="item-list"><ul>{r}</ul></div></div>',
         "denmark": '<div class="ajaxhost"><div class="items">{r}</div></div>',
         "finland": '<ul class="results">{r}</ul>',
+        "croatia": '<main class="site-main">{r}</main>',
+        "united_kingdom": '<div class="resultlist">{r}</div>',
+        "edpb": '<div class="view-content">{r}</div>',
+        "czech_republic": '<div class="item-list">{r}</div>',
         "italy": '<div class="posts">{r}</div>',
+        "italy_news": '<div class="posts">{r}</div>',
     }[b].format(r="".join(rows))
     pager = ""
     if cfg["pagination"] == "next" and k < n_pages:
         pager = f'<ul class="Pages"><li class="next"><a href="{list_url(a, k + 1)}">Next</a></li></ul>'
-    elif cfg["pagination"] in ("all", "computed"):
+    elif cfg["pagination"] == "all":
         links = "".join(
             f'<li class="page-item"><a href="{list_url(a, j)}">{j}</a></li>'
             for j in range(1, n_pages + 1)
             if j != k
         )
-        cls = "pagination" if cfg["pagination"] == "computed" else "Pages"
-        wrap = f'<ul class="{cls}">{links}</ul>'
-        pager = f"<nav class=\"pager\">{wrap}</nav>" if cfg["pagination"] == "all" else wrap
+        pager = f'<nav class="pager"><ul class="Pages">{links}</ul></nav>'
+    elif cfg["pagination"] == "computed":
+        # TRUNCATED pager: only page 1 and the last page carry links;
+        # the middle pages are unlinked spans — the engine must read the
+        # last page number and synthesize the URLs (F3,
+        # italy/__init__.py:46-55), it cannot collect hrefs
+        mid = "".join(
+            f'<li class="page-item"><span>{j}</span></li>'
+            for j in range(2, n_pages)
+        )
+        last = (
+            f'<li class="page-item"><a href="{list_url(a, n_pages)}">{n_pages}</a></li>'
+            if n_pages > 1
+            else ""
+        )
+        pager = (
+            f'<ul class="pagination"><li class="page-item">'
+            f'<a href="{list_url(a, 1)}">1</a></li>{mid}{last}</ul>'
+        )
     return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
 
 
 def _docpage_html(a: str, p: int, i: int, n_files: int, pad_lines: int = 0) -> str:
     cfg = X.cfg_of(a)
+    b = base_auth(a)
     text = _para_text(a, p, i, pad_lines)
     paras = "".join(f"<p>{ln}</p>" for ln in text.split("\n"))
+    if b == "edpb":
+        # article with either the consultation alert (link to a second
+        # html page holding the pdf) or the direct pdf link
+        # (edpb/__init__.py:293-355)
+        if i % 3 == 0:
+            inner = (
+                f'<div class="alert">Final version adopted after public '
+                f'consultation <a href="{edpb_alert_url(a, p, i)}">here</a></div>'
+                f"{paras}"
+            )
+        else:
+            inner = (
+                f'{paras}<div class="col-sm-2">'
+                f'<a href="{edpb_pdf_url(a, p, i)}">Download PDF</a></div>'
+            )
+        body = f'<article class="edpb-article" role="article">{inner}</article>'
+        return _BOILER_HEAD.format(t=_title(a, p, i)) + body + _BOILER_FOOT
     sel = cfg["body_selector"]
     tag_class = sel.split(".")[-1] if "." in sel else sel
-    body = f'<div class="{tag_class}">{paras}</div>'
-    files = ""
-    if cfg["depth2_selector"] and n_files:
+    if b == "czech_republic" and n_files:
+        links = "".join(
+            f'<p><a href="{cz_file_url(a, p, i, j)}">Příloha {j}</a></p>'
+            for j in range(1, n_files + 1)
+        )
+        # plus a non-File.ashx link the href filter must skip
+        # (czech_republic/__init__.py:195)
+        links += f'<p><a href="https://{host_for(a)}/{a}/kontakt">Kontakt</a></p>'
+        body = f'<div class="{tag_class}">{paras}{links}</div>'
+    elif cfg["depth2_selector"] and n_files:
         links = "".join(
             f'<p><a href="{file_url(a, p, i, j)}">Liite {j} (PDF)</a></p>'
             for j in range(1, n_files + 1)
         )
         body = f'<div class="{tag_class}">{paras}{links}</div>'
-        files = ""
-    return (
-        _BOILER_HEAD.format(t=_title(a, p, i))
-        + body
-        + files
-        + _BOILER_FOOT
+    else:
+        body = f'<div class="{tag_class}">{paras}</div>'
+    return _BOILER_HEAD.format(t=_title(a, p, i)) + body + _BOILER_FOOT
+
+
+def _edpb_alert_page_html(a: str, p: int, i: int) -> str:
+    """The redirect page the alert links to (edpb/__init__.py:309-340)."""
+    body = (
+        f'<article class="edpb-article" role="article">'
+        f"<p>Final version after public consultation.</p>"
+        f'<div class="col-sm-2"><a href="{edpb_pdf_url(a, p, i)}">Download</a>'
+        f"</div></article>"
     )
+    return _BOILER_HEAD.format(t=f"{a} final {p}-{i}") + body + _BOILER_FOOT
 
 
 _PAGES_ARROW = pa.schema(
@@ -212,7 +398,7 @@ def generate(
     n_pages: int = 3,
     n_items: int = 4,
     n_files: int = 2,
-    authorities: tuple[str, ...] = ("austria", "ireland", "denmark", "finland", "italy"),
+    authorities: tuple[str, ...] = BASE_AUTHORITIES,
     doc_pad_lines: int = 0,
     ground_truth: bool = True,
 ) -> dict[str, str]:
@@ -253,12 +439,66 @@ def generate(
 
     off = 0
     for a in authorities:
-        lang = X.cfg_of(a)["lang"]
+        cfg = X.cfg_of(a)
+        b = base_auth(a)
+        lang = cfg["lang"]
         for k in range(1, n_pages + 1):
             add(list_url(a, k), _listing_html(a, k, n_pages, n_items).encode(), None, lang, off)
             off += 1
             for i in range(1, n_items + 1):
-                has_files = bool(X.cfg_of(a)["depth2_selector"]) and (i % 2 == 1)
+                if b == "united_kingdom":
+                    # item target IS the binary document (pdf/docx);
+                    # .html targets are P6-gated and never stored
+                    furl = uk_file_url(a, k, i)
+                    if furl.endswith(".html"):
+                        continue
+                    payload = _para_text(a, k, i, doc_pad_lines)
+                    hdr = (
+                        X.FAKE_DOCX_HEADER
+                        if furl.endswith(".docx")
+                        else X.FAKE_PDF_HEADER
+                    )
+                    content = hdr + payload.encode()
+                    add(furl, content, payload if ground_truth else None, lang, off)
+                    off += 1
+                    continue
+                if b == "belgium":
+                    furl = be_file_url(a, k, i)
+                    if furl.endswith(".zip"):
+                        content = _be_zip_bytes(a, k, i)
+                    else:
+                        payload = _para_text(a, k, i, doc_pad_lines)
+                        content = X.FAKE_PDF_HEADER + payload.encode()
+                    gt = (
+                        X.decode_file(furl, content) if ground_truth else None
+                    )
+                    add(furl, content, gt, lang, off)
+                    off += 1
+                    continue
+                if b == "edpb":
+                    html = _docpage_html(a, k, i, 0, doc_pad_lines)
+                    add(doc_url(a, k, i), html.encode(), None, lang, off)
+                    off += 1
+                    if i % 3 == 0:  # alert redirect hop page
+                        add(
+                            edpb_alert_url(a, k, i),
+                            _edpb_alert_page_html(a, k, i).encode(),
+                            None,
+                            lang,
+                            off,
+                        )
+                        off += 1
+                    payload = _para_text(a, k, i, doc_pad_lines) + "\n[final pdf]"
+                    add(
+                        edpb_pdf_url(a, k, i),
+                        X.FAKE_PDF_HEADER + payload.encode(),
+                        payload if ground_truth else None,
+                        lang,
+                        off,
+                    )
+                    off += 1
+                    continue
+                has_files = bool(cfg["depth2_selector"]) and (i % 2 == 1)
                 nf = n_files if has_files else 0
                 html = _docpage_html(a, k, i, nf, doc_pad_lines)
                 gt = None
@@ -269,8 +509,13 @@ def generate(
                 off += 1
                 for j in range(1, nf + 1):
                     payload = _para_text(a, k, i) + f"\n[attachment {j}]"
+                    furl = (
+                        cz_file_url(a, k, i, j)
+                        if b == "czech_republic"
+                        else file_url(a, k, i, j)
+                    )
                     add(
-                        file_url(a, k, i, j),
+                        furl,
                         X.FAKE_PDF_HEADER + payload.encode(),
                         payload,
                         lang,
@@ -355,7 +600,12 @@ def fixture_dir(profile: str = "sf0.01", root: str = "/tmp/crawler_spark_fixture
     """Generate-once cache of crawl fixtures for a scale profile."""
     out = os.path.join(root, profile)
     marker = os.path.join(out, ".complete")
-    if not os.path.exists(marker):
+    try:
+        with open(marker) as f:
+            stale = f.read().strip() != FIXTURE_VERSION
+    except FileNotFoundError:
+        stale = True
+    if stale:
         if profile in SCALE_PROFILES:
             cfg = dict(SCALE_PROFILES[profile])
             width = cfg.pop("width")
@@ -373,7 +623,7 @@ def fixture_dir(profile: str = "sf0.01", root: str = "/tmp/crawler_spark_fixture
             n_pages, n_items, n_files = SF_PROFILES[profile]
             generate(out, n_pages=n_pages, n_items=n_items, n_files=n_files)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(FIXTURE_VERSION)
     return out
 
 
@@ -474,6 +724,26 @@ def sequential_oracle(
                 fetch_order.append(href)
                 if drow is None or drow.html is None:
                     continue
+                if X.cfg_of(a).get("doc_is_file"):
+                    # UK/belgium: the item target IS the binary document
+                    # (united_kingdom/__init__.py:135-145, belgium:604-661)
+                    try:
+                        text = X.decode_file(href, bytes(drow.html))
+                    except NotImplementedError:
+                        continue  # decode failed -> no doc, key not seen
+                    docs.append(
+                        {
+                            "doc_hash": key,
+                            "authority": a,
+                            "url": href,
+                            "title": title,
+                            "release_date": d,
+                            "text": text,
+                            "seq": item_seq,
+                        }
+                    )
+                    run_final_keys.add(key)
+                    continue
                 dp = X.parse_docpage(a, href, bytes(drow.html).decode("utf-8"))
                 if dp["file_links"]:
                     for j, furl in enumerate(dp["file_links"], start=1):
@@ -483,6 +753,27 @@ def sequential_oracle(
                         fetch_order.append(furl)
                         if frow is None or frow.html is None:
                             continue
+                        fseq = X.seq_child_link(item_seq, j)
+                        fbytes = bytes(frow.html)
+                        if X.cfg_of(a).get("redirect_selector") and X.looks_like_html(
+                            fbytes
+                        ):
+                            # EDPB alert hop: html page -> final pdf url
+                            # (edpb/__init__.py:309-340); seq carries over
+                            target = X.parse_redirect(
+                                a, furl, fbytes.decode("utf-8")
+                            )
+                            if target is None or _robots_disallowed(robots, target):
+                                continue
+                            trow = web.get(target)
+                            fetch_order.append(target)
+                            if trow is None or trow.html is None:
+                                continue
+                            furl, fbytes = target, bytes(trow.html)
+                        try:
+                            text = X.decode_file(furl, fbytes)
+                        except NotImplementedError:
+                            continue
                         fkey = key if j == 1 else f"{key}#{j}"
                         docs.append(
                             {
@@ -491,8 +782,8 @@ def sequential_oracle(
                                 "url": furl,
                                 "title": title,
                                 "release_date": d,
-                                "text": X.decode_file(furl, bytes(frow.html)),
-                                "seq": X.seq_child_link(item_seq, j),
+                                "text": text,
+                                "seq": fseq,
                             }
                         )
                 else:

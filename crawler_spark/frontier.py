@@ -172,6 +172,48 @@ def schedule(
     )
 
 
+def quota_gate(
+    rows: DataFrame,
+    budgets: DataFrame,
+    key_col: str = "authority",
+    cost_col: str = "cost",
+    order_col: str = "seq",
+) -> tuple[DataFrame, DataFrame]:
+    """R3: second-resource quota (the translate-quota pattern,
+    ``pygdpr/services/translate_quota_service.py:8-29`` — 10^6 chars per
+    100 s per project, enforced before each translate call with a
+    sleep-until-refill).
+
+    Generalized as a scheduler policy over any cost column: rows are
+    consumed in deterministic ``order_col`` order per key, a running
+    cumulative sum is compared against the key's budget, and rows past
+    the budget are **deferred** (returned separately to stay pending for
+    the next round — the declarative analog of the reference's 105 s
+    back-off sleep, ``pygdpr/models/dpa/__init__.py:656-659``).
+
+    ``budgets``: (key_col, budget) — small dim, broadcast.  The window
+    runs inside per-key partitions; for a pathologically hot key, salt
+    the key first exactly like :func:`schedule` does for hosts (a salted
+    cumsum admits ≤ budget per salt, preserving the invariant
+    total-per-key ≤ budget).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = rows.join(F.broadcast(budgets), key_col, "left").withColumn(
+        "__cum", F.sum(F.col(cost_col)).over(w)
+    )
+    admitted = flagged.filter(
+        F.col("budget").isNull() | (F.col("__cum") <= F.col("budget"))
+    ).drop("__cum", "budget")
+    deferred = flagged.filter(
+        F.col("budget").isNotNull() & (F.col("__cum") > F.col("budget"))
+    ).drop("__cum", "budget")
+    return admitted, deferred
+
+
 # ---------------------------------------------------------------------------
 # candidate admission: P3 (persistent seen) + P4 (within-run duplicates)
 # ---------------------------------------------------------------------------

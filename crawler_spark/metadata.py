@@ -100,6 +100,179 @@ def citations(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# A2 full semantics: sentence gate -> nearest-article refs -> validation
+# tree -> chapter/section attach
+# ---------------------------------------------------------------------------
+
+#: Partial GDPR article validation tree: article -> {paragraph -> letters}.
+#: The reference ships the full structure as
+#: ``gdpr/assets/gdpr-article-validation-tree.json`` (consumed at
+#: ``valid_gdpr_article_ref_specification.py:4-38``); this embedded subset
+#: covers the commonly-cited articles and is the swap point for the full
+#: tree — validation semantics (art must exist; (art,par) and
+#: (art,par,let) must be in the tree) are identical.  Bare articles 1-99
+#: are always valid (every GDPR article is a tree key).
+GDPR_TREE: dict[int, dict[int, str]] = {
+    5: {1: "abcdef", 2: ""},
+    6: {1: "abcdef", 2: "", 3: "ab", 4: "abcde"},
+    7: {1: "", 2: "", 3: "", 4: ""},
+    9: {1: "", 2: "abcdefghij", 3: "", 4: ""},
+    12: {1: "", 2: "", 3: "", 4: "", 5: "ab", 6: "", 7: "", 8: ""},
+    13: {1: "abcdef", 2: "abcdef", 3: "", 4: ""},
+    15: {1: "abcdefgh", 2: "", 3: "", 4: ""},
+    17: {1: "abcdef", 2: "", 3: "abcde"},
+    21: {1: "", 2: "", 3: "", 4: "", 5: "", 6: ""},
+    25: {1: "", 2: "", 3: ""},
+    28: {1: "", 2: "", 3: "abcdefgh", 4: "", 5: "", 6: "", 7: "", 8: "", 9: "", 10: ""},
+    32: {1: "abcd", 2: "", 3: "", 4: ""},
+    33: {1: "", 2: "", 3: "abcd", 4: "", 5: ""},
+    34: {1: "", 2: "", 3: "abc", 4: ""},
+    35: {i: "" for i in range(1, 12)},
+    58: {1: "abcdef", 2: "abcdefghij", 3: "abcdefghij", 4: "", 5: "", 6: ""},
+    83: {i: "" for i in range(1, 10)},
+}
+
+#: Chapter/section ranges — gdpr_chapter_section_service.py:1-29 (facts
+#: of the regulation's structure).
+GDPR_CHAPTERS: list[tuple[int, int | None, int, int]] = [
+    (1, None, 1, 4), (2, None, 5, 11),
+    (3, 1, 12, 12), (3, 2, 13, 15), (3, 3, 16, 20), (3, 4, 21, 22), (3, 5, 23, 23),
+    (4, 1, 24, 31), (4, 2, 32, 34), (4, 3, 35, 36), (4, 4, 37, 39), (4, 5, 40, 43),
+    (5, None, 44, 50), (6, 1, 51, 54), (6, 2, 55, 59),
+    (7, 1, 60, 62), (7, 2, 63, 67), (7, 3, 68, 76),
+    (8, None, 77, 84), (9, None, 85, 91), (10, None, 92, 93), (11, None, 94, 99),
+]
+
+
+def gdpr_tree_rows() -> list[tuple[int, int, str]]:
+    """Validation tree flattened to (article, par|-1, letter|'-') rows —
+    the broadcast-join dimension (null levels coalesced to sentinels so
+    the join is a plain equi-join on both engines)."""
+    rows = [(a, -1, "-") for a in range(1, 100)]
+    for art, pars in GDPR_TREE.items():
+        for par, letters in pars.items():
+            rows.append((art, par, "-"))
+            rows.extend((art, par, l) for l in letters)
+    return rows
+
+
+#: ref pattern: article N [(par)] [(let)] — groups 1/3/5.  Java regex and
+#: RE2 parse it identically (no lookaround, no backrefs).
+CITE_FULL_RE = "[Aa]rticle ([0-9]{1,3})(\\\\(([0-9]{1,2})\\\\))?(\\\\(([a-z])\\\\))?"
+
+
+def with_citation_text_full(docs: DataFrame) -> DataFrame:
+    """Augmentation for the full A2 semantics: one sentence with a
+    legal-basis marker (gate passes) holding two refs — one with
+    paragraph+letter (validity depends on the tree) and one bare valid
+    article — plus one GATED-OUT sentence (no gdpr/2016/679 marker).
+    Same arithmetic in the DuckDB oracle."""
+    a1 = (F.col("doc_id") % 120 + 1).cast("string")
+    p1 = (F.col("doc_id") % 9 + 1).cast("string")
+    l1 = F.expr("chr(97 + cast(doc_id % 8 as int))")
+    a2 = (F.col("doc_id") % 99 + 1).cast("string")
+    a3 = (F.col("doc_id") % 50 + 1).cast("string")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(". Article "), a1, F.lit("("), p1, F.lit(")("), l1,
+            F.lit(") and Article "), a2,
+            F.lit(" of Regulation 2016/679 were infringed"),
+            F.lit(". Article "), a3, F.lit("(2) is discussed elsewhere."),
+        ),
+    )
+
+
+DUCK_CITATION_FULL_TEXT = (
+    "text || '. Article ' || cast(doc_id % 120 + 1 as varchar)"
+    " || '(' || cast(doc_id % 9 + 1 as varchar) || ')('"
+    " || chr(97 + cast(doc_id % 8 as int)) || ') and Article '"
+    " || cast(doc_id % 99 + 1 as varchar)"
+    " || ' of Regulation 2016/679 were infringed'"
+    " || '. Article ' || cast(doc_id % 50 + 1 as varchar)"
+    " || '(2) is discussed elsewhere.'"
+)
+
+
+def citations_full(docs: DataFrame) -> DataFrame:
+    """A2 with the reference's full structure
+    (citations_metadata_service/__init__.py:38-191):
+
+    1. sentence scan — only sentences naming both an article and the
+       regulation ('2016/679' / 'gdpr') yield refs (:44-67 gate);
+    2. refs = article + optional (paragraph) + optional (letter), the
+       nearest-article attribution collapsed into one match (:93-146);
+    3. validation-tree **broadcast join**
+       (valid_gdpr_article_ref_specification.py:4-38);
+    4. chapter/section attach by article-range broadcast join
+       (gdpr_chapter_section_service.py:1-29).
+
+    Output: (doc_id, article, paragraph, letter, chapter, section,
+    n_refs) — one row per distinct valid ref per doc with its
+    occurrence count.
+    """
+    spark = docs.sparkSession
+    tree = spark.createDataFrame(
+        gdpr_tree_rows(), "article int, par0 int, let0 string"
+    )
+    chap = spark.createDataFrame(
+        [
+            (c, s, lo, hi)
+            for c, s, lo, hi in GDPR_CHAPTERS
+        ],
+        "chapter int, section int, min_art int, max_art int",
+    )
+    d = with_citation_text_full(docs)
+    sent = d.select(
+        "doc_id",
+        F.explode(F.expr("split(text, '[.!?] ')")).alias("sent"),
+    ).filter(
+        F.lower(F.col("sent")).contains("article")
+        & (
+            F.col("sent").contains("2016/679")
+            | F.lower(F.col("sent")).contains("gdpr")
+        )
+    )
+    refs = sent.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(sent, '{CITE_FULL_RE}', 0)")
+        ).alias("m"),
+    ).select(
+        "doc_id",
+        F.regexp_extract("m", CITE_FULL_RE.replace("\\\\", "\\"), 1)
+        .cast("int")
+        .alias("article"),
+        F.nullif(
+            F.regexp_extract("m", CITE_FULL_RE.replace("\\\\", "\\"), 3),
+            F.lit(""),
+        )
+        .cast("int")
+        .alias("paragraph"),
+        F.nullif(
+            F.regexp_extract("m", CITE_FULL_RE.replace("\\\\", "\\"), 5),
+            F.lit(""),
+        ).alias("letter"),
+    )
+    valid = (
+        refs.withColumn("par0", F.coalesce(F.col("paragraph"), F.lit(-1)))
+        .withColumn("let0", F.coalesce(F.col("letter"), F.lit("-")))
+        .join(F.broadcast(tree), ["article", "par0", "let0"], "left_semi")
+    )
+    return (
+        valid.join(
+            F.broadcast(chap),
+            (F.col("article") >= F.col("min_art"))
+            & (F.col("article") <= F.col("max_art")),
+            "left",
+        )
+        .groupBy("doc_id", "article", "paragraph", "letter", "chapter", "section")
+        .agg(F.count("*").cast("bigint").alias("n_refs"))
+    )
+
+
 def citation_count(docs: DataFrame) -> DataFrame:
     """A3: count of gdpr/rgpd/2016/679 tokens per doc."""
     d = with_citation_text(docs)

@@ -655,6 +655,52 @@ FROM m
 """
 
 
+def q_citations_full(spark, sf_dir):
+    """A2 full semantics: sentence gate -> refs with paragraph/letter ->
+    validation-tree broadcast join -> chapter/section attach
+    (citations_metadata_service/__init__.py:38-191)."""
+    return metadata.citations_full(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_citations_full() -> str:
+    pat = metadata.CITE_FULL_RE.replace("\\\\", "\\")
+    tree_vals = ", ".join(
+        f"({a}, {p}, '{l}')" for a, p, l in metadata.gdpr_tree_rows()
+    )
+    chap_vals = ", ".join(
+        f"({c}, {'NULL' if s is None else s}, {lo}, {hi})"
+        for c, s, lo, hi in metadata.GDPR_CHAPTERS
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {metadata.DUCK_CITATION_FULL_TEXT} AS text FROM documents),
+sent AS (SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?] ')) AS sent FROM d),
+gated AS (SELECT * FROM sent
+  WHERE contains(lower(sent), 'article')
+    AND (contains(sent, '2016/679') OR contains(lower(sent), 'gdpr'))),
+m AS (SELECT doc_id, unnest(regexp_extract_all(sent, '{pat}', 0)) AS m FROM gated),
+refs AS (SELECT doc_id,
+    cast(regexp_extract(m, '{pat}', 1) as int) AS article,
+    cast(nullif(regexp_extract(m, '{pat}', 3), '') as int) AS paragraph,
+    nullif(regexp_extract(m, '{pat}', 5), '') AS letter
+  FROM m),
+tree(article, par0, let0) AS (VALUES {tree_vals}),
+chap(chapter, section, min_art, max_art) AS (VALUES {chap_vals}),
+valid AS (SELECT r.* FROM refs r WHERE EXISTS (
+    SELECT 1 FROM tree t
+    WHERE t.article = r.article
+      AND t.par0 = coalesce(r.paragraph, -1)
+      AND t.let0 = coalesce(r.letter, '-')))
+SELECT v.doc_id, v.article, v.paragraph, v.letter,
+  c.chapter, cast(c.section as int) AS section,
+  cast(count(*) as bigint) AS n_refs
+FROM valid v LEFT JOIN chap c ON v.article BETWEEN c.min_art AND c.max_art
+GROUP BY v.doc_id, v.article, v.paragraph, v.letter, c.chapter, c.section
+"""
+
+
+ORACLE_CITATIONS_FULL = _oracle_citations_full()
+
+
 def q_citation_count(spark, sf_dir):
     return metadata.citation_count(_t(spark, sf_dir, "documents"))
 
@@ -931,6 +977,97 @@ WHERE cosine >= 0.4
 """
 
 
+def q_emb_neardup_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: sign-bucket equi-join with
+    hamming-1 hypercube probing — shuffle O(N * n_bits), never O(N^2).
+    The exact all-pairs variant (q_emb_neardup) stays registered as the
+    recall baseline."""
+    return similarity.neardup_pairs_bucketed(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=8
+    )
+
+
+ORACLE_EMB_NEARDUP_LSH = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_DUCK_NORM.format(v='embedding')} AS norm,
+    cast({_DUCK_BUCKET} as bigint) AS bucket
+  FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm), 6) AS cosine
+  FROM base a JOIN base b
+    ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+WHERE cosine >= 0.4
+"""
+
+
+def q_locale_dates(spark, sf_dir):
+    """X7 locale branch (dateparser stand-in): deterministic Croatian
+    date strings are built from event_id arithmetic (no timezone
+    dependence), then parsed back through the engine's locale parser
+    (extract.parse_date_str, the pandas-UDF path used by the croatia
+    profile); the oracle builds the same strings and computes the true
+    date with make_date — equality proves the parser."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DateType
+
+    from . import extract as X
+
+    # no type hints on the function: `from __future__ import
+    # annotations` stringifies them, which pandas_udf cannot resolve
+    def _parse_hr(s):
+        return s.map(lambda v: X.parse_date_str("croatia", v))
+
+    parse_hr = pandas_udf(_parse_hr, DateType())
+
+    months = F.array(*[F.lit(m) for m in X.HR_MONTHS])
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 28 + 1).alias("dd"),
+        (F.col("event_id") % 12 + 1).cast("int").alias("mm"),
+        (F.col("event_id") % 6 + 2018).cast("int").alias("yy"),
+    )
+    ev = ev.withColumn(
+        "date_str",
+        F.concat(
+            F.col("dd").cast("string"), F.lit(". "),
+            F.element_at(months, F.col("mm")), F.lit(" "),
+            F.col("yy").cast("string"), F.lit("."),
+        ),
+    )
+    return ev.select(
+        "event_id",
+        "date_str",
+        F.date_format(parse_hr(F.col("date_str")), "yyyy-MM-dd").alias(
+            "parsed_date"
+        ),
+    )
+
+
+_HR_CASE = " ".join(
+    f"WHEN {i + 1} THEN '{m}'"
+    for i, m in enumerate(
+        ("siječnja", "veljače", "ožujka", "travnja", "svibnja", "lipnja",
+         "srpnja", "kolovoza", "rujna", "listopada", "studenoga", "prosinca")
+    )
+)
+
+ORACLE_LOCALE_DATES = f"""
+WITH base AS (
+  SELECT event_id,
+    event_id % 28 + 1 AS dd,
+    cast(event_id % 12 + 1 as int) AS mm,
+    cast(event_id % 6 + 2018 as int) AS yy
+  FROM events)
+SELECT event_id,
+  cast(dd as varchar) || '. ' || (CASE mm {_HR_CASE} END) || ' ' ||
+    cast(yy as varchar) || '.' AS date_str,
+  strftime(make_date(yy, mm, dd), '%Y-%m-%d') AS parsed_date
+FROM base
+"""
+
+
 # ===========================================================================
 # Multimodal plumbing + crawl end-to-end (pandas-UDF stages)
 # ===========================================================================
@@ -950,6 +1087,21 @@ SELECT doc_id AS media_id, 'doc' AS kind,
   cast(('0x' || substr(reverse(md5(text)), 1, 15)) as bigint) % 480 + 1 AS height
 FROM documents
 """
+
+
+def q_reachability(spark, sf_dir):
+    """S7 reachability report over the deterministic fixture web
+    (rows-only: CSS probing of html snapshots is not SQL-expressible;
+    tests/test_reachability.py asserts the expected colors, including a
+    planted drifted-selector case)."""
+    from . import fixtures
+    from . import schema as S
+    from .reachability import reachability_report
+
+    fix = fixtures.fixture_dir("sf0.001")
+    pages = spark.read.schema(S.PAGES).parquet(f"{fix}/pages.parquet")
+    seeds = spark.read.schema(S.SEEDS).parquet(f"{fix}/seeds.parquet")
+    return reachability_report(pages, seeds).orderBy("authority", "probe")
 
 
 def q_crawl_mini(spark, sf_dir):
@@ -1025,8 +1177,12 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "emb_neardup": q_emb_neardup,
+    "emb_neardup_lsh": q_emb_neardup_lsh,
+    "locale_dates": q_locale_dates,
+    "reachability": q_reachability,
     "multimodal_decode": q_multimodal_decode,
     "citations": q_citations,
+    "citations_full": q_citations_full,
     "citation_count": q_citation_count,
     "keywords_topk": q_keywords_topk,
     "timeline": q_timeline,
@@ -1066,8 +1222,11 @@ ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_BRUTE,
     "ann_lsh": ORACLE_ANN_LSH,
     "emb_neardup": ORACLE_EMB_NEARDUP,
+    "emb_neardup_lsh": ORACLE_EMB_NEARDUP_LSH,
+    "locale_dates": ORACLE_LOCALE_DATES,
     "multimodal_decode": ORACLE_MULTIMODAL,
     "citations": ORACLE_CITATIONS,
+    "citations_full": ORACLE_CITATIONS_FULL,
     "citation_count": ORACLE_CITATION_COUNT,
     "keywords_topk": ORACLE_KEYWORDS,
     "timeline": ORACLE_TIMELINE,

@@ -11,18 +11,43 @@ in parallel — the reference's own loop structure, parallelized across its
 outer dimension (SURVEY.md §7.3.2).
 
 Commit protocol per round: documents / seen / fetch_log / frontier /
-metrics commit first, the ``lineage`` row commits LAST and is the round's
-commit point — resume rolls every table back to the snapshot ids in the
-last lineage row, so a crash mid-commit replays the whole round
+done / metrics commit first, the ``lineage`` row commits LAST and is the
+round's commit point — resume rolls every table back to the snapshot ids
+in the last lineage row, so a crash mid-commit replays the whole round
 idempotently (the reference instead loses its entire run delta on crash,
 ``gdprCrawler.py:292-301``).
 
-Scale notes: the frontier state update is a full overwrite here
-(read-modify-write join); at 10^10 rows that becomes an Iceberg
-merge-on-read MERGE — same plan shape, delta-file commit instead of
-rewrite.  html bytes never enter a shuffle: they come off the ``pages``
-scan side of the fetch join and are consumed immediately by the
-mapInPandas stage (column pruning keeps them out of everything else).
+Frontier state is O(round) per round, not O(frontier):
+
+- the **pending set** is a merge-on-read table (``tables.MorTable``):
+  a round commits one add part (new children + retry re-pends) and one
+  equality-delete part (the round's scheduled + robots-denied rows,
+  keyed ``(url_hash, retry_count)``), never a rewrite of the 10^10-row
+  table.  Tombstones fold into the base every ``compact_after`` commits
+  (amortized O(delta) writes) — Iceberg v2 merge-on-read MERGE on a
+  real cluster.
+- **terminal rows** append to the ``done`` log (state fetched/failed);
+  "the frontier" of the north rule is pending ∪ done
+  (:meth:`CrawlRun.frontier_view`).
+- **per-partition lineage offsets** are carried forward incrementally:
+  previous round's offsets + this round's per-shard add counts (a
+  round-sized aggregation), replacing the full frontier
+  groupBy(shard).count() per round.
+- membership checks against the big tables (P5 page-revisit, P3 seen,
+  P4 final keys) go through the sharded Blooms + probe-shaped
+  anti-joins (seen.anti_join_probe): the big side is scanned —
+  bucket-pruned under Iceberg — but never shuffled.
+
+Retry semantics (R4, ``pygdpr/models/dpa/__init__.py:450-452``
+``MaxRetriesError``): a missed URL re-enters pending with
+``retry_count+1`` until ``max_attempts`` fetches have failed, then goes
+terminal ``failed``.  The bumped retry_count doubles as the MoR
+re-admission key, so a re-pend survives its own tombstone without
+sequence numbers.
+
+html bytes never enter a shuffle: they come off the ``pages`` scan side
+of the fetch join and are consumed immediately by the mapInPandas stage
+(column pruning keeps them out of everything else).
 """
 
 from __future__ import annotations
@@ -34,13 +59,14 @@ from datetime import date
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from . import frontier as FR
 from . import schema as S
 from . import seen as SN
 from . import urls
 from .extract import EXTRACT_OUT, LINK_BITS, MAX_LINK, make_fetch_extract
-from .tables import SnapshotTable
+from .tables import MorTable, SnapshotTable
 
 
 class CrawlRun:
@@ -61,6 +87,7 @@ class CrawlRun:
         light_stats: bool = False,
         store_content: bool = True,
         broadcast_rows_max: int = 2_000_000,
+        max_attempts: int = 3,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -72,8 +99,8 @@ class CrawlRun:
         self.round_seconds = round_seconds
         self.use_bloom = use_bloom
         self.n_shards = n_shards
-        # light_stats skips the four per-round count() actions (used by
-        # the bench: counts are recoverable from fetch_log/metrics)
+        # light_stats skips the per-round count() actions over the heavy
+        # round output (doc count is recovered from the tiny metrics agg)
         self.light_stats = light_stats
         # store_content=False stores documents by-reference (text +
         # metadata only; raw bytes stay in the pages table, addressable
@@ -85,9 +112,18 @@ class CrawlRun:
         # broadcast hint to a plain equi-join (AQE / storage-partitioned
         # join on a real cluster) instead of OOMing the driver
         self.broadcast_rows_max = broadcast_rows_max
+        # R4: total fetch attempts per URL before terminal failure
+        self.max_attempts = max_attempts
 
         t = lambda name, sch: SnapshotTable(os.path.join(state_dir, name), sch)
-        self.frontier = t("frontier", S.FRONTIER)
+        # the pending set keeps the historical "frontier" directory/column
+        # names; terminal rows live in the append-only done log
+        self.pending = MorTable(
+            os.path.join(state_dir, "frontier"),
+            S.FRONTIER,
+            delete_keys=["url_hash", "retry_count"],
+        )
+        self.done = t("done", S.FRONTIER)
         self.seen = t("seen", S.SEEN)
         self.bloom = t("seen_bloom", S.SEEN_BLOOM)
         # second sharded Bloom over *frontier url_hashes* (the north-star
@@ -110,12 +146,19 @@ class CrawlRun:
     def robots_df(self) -> DataFrame:
         return self.spark.read.schema(S.ROBOTS).parquet(self.robots_path)
 
+    def frontier_view(self) -> DataFrame:
+        """The logical frontier of the north rule: pending ∪ done."""
+        return self.pending.read(self.spark).unionByName(
+            self.done.read(self.spark)
+        )
+
     def init(self) -> None:
         """Seed the frontier (round 0 commit point)."""
-        if self.frontier.current_snapshot_id() is not None:
+        if self.pending.current_snapshot_id() is not None:
             return
-        seeded = FR.seed_frontier(self.seeds_df())
-        self.frontier.overwrite(seeded, note="seed")
+        seeded = self.pending.commit_delta(
+            self.spark, adds=FR.seed_frontier(self.seeds_df()), note="seed"
+        )
         if self.use_bloom:
             self.url_bloom.overwrite(
                 SN.bloom_build(
@@ -124,7 +167,10 @@ class CrawlRun:
                 ),
                 note="seed",
             )
-        self._commit_lineage(round_id=0, fetched=0, extracted=0)
+        self._commit_lineage(
+            round_id=0, fetched=0, extracted=0,
+            delta_by_shard=self._shard_counts(seeded),
+        )
 
     def last_committed_round(self) -> int | None:
         lin = self.lineage.read(self.spark)
@@ -149,51 +195,118 @@ class CrawlRun:
         lin = (
             self.lineage.read(self.spark)
             .filter(F.col("round_id") == last)
-            .select("frontier_snapshot", "seen_snapshot", "documents_snapshot")
+            .select(
+                "frontier_snapshot", "done_snapshot", "seen_snapshot",
+                "documents_snapshot",
+            )
             .limit(1)
             .collect()[0]
         )
         for table, sid in (
-            (self.frontier, lin["frontier_snapshot"]),
+            (self.pending, lin["frontier_snapshot"]),
+            (self.done, lin["done_snapshot"]),
             (self.seen, lin["seen_snapshot"]),
             (self.documents, lin["documents_snapshot"]),
         ):
-            if table.current_snapshot_id() != sid:
+            if not sid:
+                # table had no snapshot at the commit point; discard any
+                # partial commits by resetting to empty
+                if table.current_snapshot_id() is not None:
+                    table.overwrite(
+                        self.spark.createDataFrame([], table.schema),
+                        note="rollback-to-empty",
+                    )
+            elif table.current_snapshot_id() != sid:
                 df = table.read(self.spark, sid)
                 table.overwrite(df, note=f"rollback-to-{sid}")
         return last + 1
 
-    def _commit_lineage(self, round_id: int, fetched: int, extracted: int) -> None:
-        """One lineage row per url_hash shard (per-partition offsets)."""
-        fr = self.frontier.read(self.spark)
-        per_shard = (
-            fr.groupBy(SN.shard_of(F.col("url_hash"), self.n_shards).alias("pid"))
-            .agg(F.count("*").alias("offset"))
+    def _shard_counts(self, df: DataFrame) -> dict[int, int]:
+        """Per-shard row counts of a round-sized delta (tiny collect)."""
+        return {
+            int(r["pid"]): int(r["n"])
+            for r in df.groupBy(
+                SN.shard_of(F.col("url_hash"), self.n_shards).alias("pid")
+            )
+            .agg(F.count("*").alias("n"))
             .collect()
+        }
+
+    def _commit_lineage(
+        self,
+        round_id: int,
+        fetched: int,
+        extracted: int,
+        delta_by_shard: dict[int, int] | None = None,
+    ) -> None:
+        """One lineage row per url_hash shard (per-partition offsets).
+
+        Offsets are *incremental*: previous round's offsets plus this
+        round's per-shard add counts — O(round) work, replacing the full
+        frontier groupBy(shard).count() (VERDICT round 1, finding 4).
+        """
+        offsets: dict[int, int] = {}
+        if round_id > 0:
+            for r in (
+                self.lineage.read(self.spark)
+                .filter(F.col("round_id") == round_id - 1)
+                .select("partition_id", "frontier_offset")
+                .collect()
+            ):
+                offsets[int(r["partition_id"])] = int(r["frontier_offset"])
+        for pid, n in (delta_by_shard or {}).items():
+            offsets[pid] = offsets.get(pid, 0) + n
+        sids = (
+            self.pending.current_snapshot_id() or "",
+            self.done.current_snapshot_id() or "",
+            self.seen.current_snapshot_id() or "",
+            self.documents.current_snapshot_id() or "",
         )
         rows = [
-            (
-                round_id,
-                self.frontier.current_snapshot_id() or "",
-                self.seen.current_snapshot_id() or "",
-                self.documents.current_snapshot_id() or "",
-                int(r["pid"]),
-                int(r["offset"]),
-                round_id,
-                fetched,
-                extracted,
-            )
-            for r in per_shard
-        ] or [(round_id, self.frontier.current_snapshot_id() or "",
-               self.seen.current_snapshot_id() or "",
-               self.documents.current_snapshot_id() or "", 0, 0, round_id, 0, 0)]
+            (round_id, *sids, pid, off, round_id, fetched, extracted)
+            for pid, off in sorted(offsets.items())
+        ] or [(round_id, *sids, 0, 0, round_id, fetched, extracted)]
         df = self.spark.createDataFrame(
             rows,
-            "round_id long, frontier_snapshot string, seen_snapshot string, "
-            "documents_snapshot string, partition_id int, frontier_offset long, "
+            "round_id long, frontier_snapshot string, done_snapshot string, "
+            "seen_snapshot string, documents_snapshot string, "
+            "partition_id int, frontier_offset long, "
             "bloom_version long, fetched long, extracted long",
         ).withColumn("committed_ts", F.current_timestamp())
         self.lineage.append(df, note=f"round-{round_id}")
+
+    def _bloom_commit(
+        self, table: SnapshotTable, delta: DataFrame, full: DataFrame, note: str
+    ) -> None:
+        """Merge ``delta`` url_hashes into a sharded Bloom table, growing
+        it geometrically when any shard nears capacity (ROADMAP #7: a
+        fixed 1<<20 bitset caps out at ~10^6 hashes/shard).
+
+        The resize check reads only the 32 tiny state rows; a resize
+        rebuilds from ``full`` (all hashes) at the next power-of-two size
+        — an O(table) job that happens O(log n) times total, so the
+        amortized per-round cost stays O(round).
+        """
+        prior = None
+        cur_m, max_n = SN.DEFAULT_M_BITS, 0
+        if table.current_snapshot_id() is not None:
+            prior = table.read(self.spark)
+            stats = prior.select(
+                (F.length("bits") * 8).alias("m"), "n_items"
+            ).collect()
+            if stats:
+                cur_m = max(int(r["m"]) for r in stats)
+                max_n = max(int(r["n_items"]) for r in stats)
+        target = SN.bloom_target_bits(max_n)
+        if target > cur_m:
+            state = SN.bloom_build(
+                self.spark, full, None, n_shards=self.n_shards, m_bits=target
+            )
+        else:
+            state = SN.bloom_build(
+                self.spark, delta, prior, n_shards=self.n_shards, m_bits=cur_m
+            )
+        table.overwrite(state, note=note)
 
     # -- one round ------------------------------------------------------------
 
@@ -201,21 +314,26 @@ class CrawlRun:
         """Run one micro-batch round; returns stats or None if frontier drained."""
         t0 = time.time()
         spark = self.spark
-        frontier_df = self.frontier.read(spark)
-        pending = frontier_df.filter(F.col("state") == "pending")
-        if pending.limit(1).count() == 0:
+        pending_df = self.pending.read(spark)
+        if pending_df.limit(1).count() == 0:
             return None
 
-        # 1. robots gate (R5) — broadcast join, pandas UDF
-        allowed, denied = FR.gate_robots(pending, self.robots_df())
+        # 1. robots gate (R5) — broadcast join, pandas UDF.  Both halves
+        #    persist for the round: the gate output feeds budgets,
+        #    scheduling, tombstones and the done log, and without the
+        #    persist each consumer would re-run the UDF pass over pending.
+        allowed, denied = FR.gate_robots(pending_df, self.robots_df())
+        allowed = allowed.persist(StorageLevel.MEMORY_AND_DISK)
+        denied = denied.persist(StorageLevel.MEMORY_AND_DISK)
 
         # 2. politeness schedule (R1) in salted per-host partitions
         budgets = FR.host_budgets(allowed, self.seeds_df(), self.round_seconds)
-        scheduled = FR.schedule(allowed, budgets).persist()
-
+        scheduled = FR.schedule(allowed, budgets).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         # count once: it both materializes the persist and gates the
-        # broadcast hint (ADVICE: an unbounded round must degrade to a
-        # shuffle/storage-partitioned join, not OOM the driver)
+        # broadcast hint (an unbounded round must degrade to a shuffle /
+        # storage-partitioned join, not OOM the driver)
         n_sched = scheduled.count()
 
         # 3. fetch = equi-join vs pages (S3/S4).  The html column is the
@@ -230,15 +348,13 @@ class CrawlRun:
         #    round-sized hit set — the pages table is scanned exactly
         #    once per round and never shuffled.  html never leaves the
         #    scan partition; it is consumed immediately by the extract
-        #    stage.  On a real cluster the same plan shape holds with a
-        #    storage-partitioned/bucketed join when a round is too large
-        #    to broadcast (both tables bucketed by url_hash).
+        #    stage.
         pages = self.pages_df().select(
             "url", "html", F.col("lang").alias("page_lang")
         )
         sched_cols = scheduled.select(
             "url", "authority", "doc_type", "depth", "priority", "seq",
-            "title", "release_date", "doc_hash", "raw_hash",
+            "title", "release_date", "doc_hash", "raw_hash", "retry_count",
         )
         sched_side = (
             F.broadcast(sched_cols)
@@ -314,7 +430,13 @@ class CrawlRun:
             if self.use_bloom and self.bloom.current_snapshot_id() is not None
             else None
         )
-        enqueued_urls = frontier_df.select("url_hash")
+        done_df = self.done.read(spark)
+        enqueued_urls = pending_df.select("url_hash").unionByName(
+            done_df.select("url_hash")
+        )
+        depth1_enqueued = pending_df.filter(F.col("depth") == 1).unionByName(
+            done_df.filter(F.col("depth") == 1)
+        )
         children = out.filter(F.col("out_kind") == "child")
         listing_children = SN.dedupe_against_seen(
             self._to_frontier_rows(
@@ -334,15 +456,16 @@ class CrawlRun:
         admitted = FR.admit_candidates(
             cand,
             self._seen_for_p3(),
-            frontier_df.filter(F.col("depth") == 1),
+            depth1_enqueued,
             self.run_id,
             bloom_state=seen_bloom_state,
         )
 
-        # 4c. expansion: depth-2 file children (keys inherited from parent)
+        # 4c. expansion: depth>=2 file/redirect children (keys inherited
+        #     from the parent; depth 3 = EDPB alert-redirect pdf)
         file_children = SN.dedupe_against_seen(
             self._to_frontier_rows(
-                children.filter(F.col("depth") == 2), keep_keys=True
+                children.filter(F.col("depth") >= 2), keep_keys=True
             ).dropDuplicates(["url_hash"]),
             enqueued_urls,
             url_bloom_state,
@@ -358,7 +481,7 @@ class CrawlRun:
         docs = out_hits.filter(F.col("out_kind") == "doc").withColumn(
             "final_key",
             F.when(
-                (F.col("depth") == 2)
+                (F.col("depth") >= 2)
                 & ((F.col("seq").bitwiseAND(F.lit(MAX_LINK))) > 1),
                 F.concat(
                     F.col("doc_hash"),
@@ -406,64 +529,65 @@ class CrawlRun:
             )
         )
 
-        # 7. state transitions + logs
-        result_state = out.filter(F.col("out_kind") == "log").select(
-            F.xxhash64(urls.canonicalize_simple(F.col("url"))).alias("url_hash"),
-            F.when(F.col("status") == "ok", "fetched")
-            .otherwise("failed")
-            .alias("new_state"),
-        )
-        doc_state = docs.select(
-            F.xxhash64(urls.canonicalize_simple(F.col("url"))).alias("url_hash"),
-            F.lit("fetched").alias("new_state"),
-        )
-        denied_state = denied.select(
-            "url_hash", F.lit("failed").alias("new_state")
-        )
-        states = (
-            result_state.unionByName(doc_state)
-            .unionByName(denied_state)
+        # 7. state transitions: every scheduled row leaves the pending
+        #    set this round (tombstone on (url_hash, retry_count)) and
+        #    either goes terminal in the done log or — a miss with
+        #    attempts left (R4) — re-enters pending with retry_count+1.
+        attempt_status = (
+            out.filter(F.col("out_kind") != "child")
+            .select(
+                F.xxhash64(urls.canonicalize_simple(F.col("url"))).alias(
+                    "url_hash"
+                ),
+                "status",
+                F.length(F.col("text")).cast("long").alias("bytes"),
+            )
             .dropDuplicates(["url_hash"])
         )
-        # states is tiny relative to the frontier (one row per scheduled
-        # url, ~16B each) — broadcast so the big frontier never shuffles
-        updated = (
-            frontier_df.join(F.broadcast(states), "url_hash", "left")
-            .withColumn("state", F.coalesce(F.col("new_state"), F.col("state")))
-            .drop("new_state")
+        sched_out = scheduled.join(
+            F.broadcast(attempt_status), "url_hash", "left"
+        ).withColumn("status", F.coalesce(F.col("status"), F.lit("miss")))
+        fr_cols = [f.name for f in S.FRONTIER.fields]
+
+        def _with_state(df: DataFrame, state: str) -> DataFrame:
+            return df.withColumn("state", F.lit(state)).select(*fr_cols)
+
+        ok_rows = sched_out.filter(F.col("status") == "ok")
+        fail_rows = sched_out.filter(~F.col("status").isin("ok", "miss"))
+        miss_sched = sched_out.filter(F.col("status") == "miss")
+        can_retry = F.col("retry_count") + 1 < F.lit(self.max_attempts)
+        repend_rows = _with_state(
+            miss_sched.filter(can_retry).withColumn(
+                "retry_count", F.col("retry_count") + 1
+            ),
+            "pending",
         )
-        new_frontier = updated.unionByName(new_rows)
+        done_delta = (
+            _with_state(ok_rows, "fetched")
+            .unionByName(_with_state(fail_rows, "failed"))
+            .unionByName(_with_state(miss_sched.filter(~can_retry), "failed"))
+            .unionByName(_with_state(denied, "failed"))
+        )
+        tombstones = scheduled.select("url_hash", "retry_count").unionByName(
+            denied.select("url_hash", "retry_count")
+        )
+        adds = new_rows.unionByName(repend_rows)
 
         # every scheduled row is one fetch attempt (the politeness unit)
-        attempt_status = out.select(
-            F.xxhash64(urls.canonicalize_simple(F.col("url"))).alias("url_hash"),
+        log_rows = sched_out.select(
+            F.lit(round_id).cast("long").alias("batch_id"),
+            "url",
+            "url_hash",
+            "host",
             "status",
-            F.length(F.col("text")).cast("long").alias("bytes"),
-        ).dropDuplicates(["url_hash"])
-        log_rows = (
-            scheduled.select("url", "url_hash", "host")
-            .join(F.broadcast(attempt_status), "url_hash", "left")
-            .select(
-                F.lit(round_id).cast("long").alias("batch_id"),
-                "url",
-                "url_hash",
-                "host",
-                F.coalesce(F.col("status"), F.lit("miss")).alias("status"),
-                "bytes",
-            )
+            "bytes",
         )
 
         # -- stats (actions) --------------------------------------------------
-        # n_sched was counted above (it also gates the broadcast hint);
-        # light_stats skips the remaining count jobs over the heavy
-        # round output — n_docs is recovered from the (tiny) metrics
-        # aggregation after commit, n_new/n_seen are reported as None
-        # (ADVICE: never a -1 sentinel in durable records)
         if self.light_stats:
-            n_docs = n_new = n_seen = None
+            n_docs = n_seen = None
         else:
             n_docs = doc_rows.count()
-            n_new = new_rows.count()
             n_seen = seen_delta.count()
 
         met = (
@@ -504,21 +628,26 @@ class CrawlRun:
         # -- commits (lineage last = commit point) ----------------------------
         try:
             self.documents.append(doc_rows, note=f"round-{round_id}")
-            self.seen.append(seen_delta, note=f"round-{round_id}")
+            _, seen_read = self.seen.append_read(
+                spark, seen_delta, note=f"round-{round_id}"
+            )
             if self.use_bloom:
                 self._bloom_commit(
                     self.bloom,
-                    delta=seen_delta.select("url_hash"),
+                    delta=seen_read.select("url_hash"),
                     full=self.seen.read(spark).select("url_hash"),
                     note=f"round-{round_id}",
                 )
             self.fetch_log.append(log_rows, note=f"round-{round_id}")
-            self.frontier.overwrite(new_frontier, note=f"round-{round_id}")
+            add_read = self.pending.commit_delta(
+                spark, adds=adds, deletes=tombstones, note=f"round-{round_id}"
+            )
+            self.done.append(done_delta, note=f"round-{round_id}")
             if self.use_bloom:
                 self._bloom_commit(
                     self.url_bloom,
-                    delta=new_rows.select("url_hash"),
-                    full=self.frontier.read(spark).select("url_hash"),
+                    delta=add_read.select("url_hash"),
+                    full=self.frontier_view().select("url_hash"),
                     note=f"round-{round_id}",
                 )
             self.metrics.append(met, note=f"round-{round_id}")
@@ -532,9 +661,21 @@ class CrawlRun:
                     .agg(F.coalesce(F.sum("fetched"), F.lit(0)).alias("n"))
                     .collect()[0]["n"]
                 )
-            self._commit_lineage(round_id, fetched=n_sched, extracted=n_docs)
+            # incremental lineage offsets: only genuinely-new rows count
+            # (re-pends carry retry_count > 0 and were counted at first
+            # enqueue)
+            delta_by_shard = self._shard_counts(
+                add_read.filter(F.col("retry_count") == 0)
+            )
+            n_new = sum(delta_by_shard.values())
+            self._commit_lineage(
+                round_id, fetched=n_sched, extracted=n_docs,
+                delta_by_shard=delta_by_shard,
+            )
         finally:
             scheduled.unpersist()
+            allowed.unpersist()
+            denied.unpersist()
             shutil.rmtree(scratch, ignore_errors=True)
         return {
             "round": round_id,
@@ -547,39 +688,6 @@ class CrawlRun:
 
     def _seen_for_p3(self) -> DataFrame:
         return self.seen.read(self.spark)
-
-    def _bloom_commit(
-        self, table: SnapshotTable, delta: DataFrame, full: DataFrame, note: str
-    ) -> None:
-        """Merge ``delta`` url_hashes into a sharded Bloom table, growing
-        it geometrically when any shard nears capacity (ROADMAP #7: a
-        fixed 1<<20 bitset caps out at ~10^6 hashes/shard).
-
-        The resize check reads only the 32 tiny state rows; a resize
-        rebuilds from ``full`` (all hashes) at the next power-of-two size
-        — an O(table) job that happens O(log n) times total, so the
-        amortized per-round cost stays O(round).
-        """
-        prior = None
-        cur_m, max_n = SN.DEFAULT_M_BITS, 0
-        if table.current_snapshot_id() is not None:
-            prior = table.read(self.spark)
-            stats = prior.select(
-                (F.length("bits") * 8).alias("m"), "n_items"
-            ).collect()
-            if stats:
-                cur_m = max(int(r["m"]) for r in stats)
-                max_n = max(int(r["n_items"]) for r in stats)
-        target = SN.bloom_target_bits(max_n)
-        if target > cur_m:
-            state = SN.bloom_build(
-                self.spark, full, None, n_shards=self.n_shards, m_bits=target
-            )
-        else:
-            state = SN.bloom_build(
-                self.spark, delta, prior, n_shards=self.n_shards, m_bits=cur_m
-            )
-        table.overwrite(state, note=note)
 
     def _to_frontier_rows(self, df: DataFrame, keep_keys: bool = False) -> DataFrame:
         canon = urls.canonicalize_simple(F.col("url"))

@@ -123,10 +123,13 @@ FETCH_LOG = T.StructType(
 )
 
 # Checkpoint lineage: one row per (round, partition) — north_rule.
+# frontier_snapshot points at the *pending* MoR table; done_snapshot at
+# the append-only terminal-row log (together they are "the frontier").
 LINEAGE = T.StructType(
     [
         T.StructField("round_id", T.LongType(), False),
         T.StructField("frontier_snapshot", T.StringType(), False),
+        T.StructField("done_snapshot", T.StringType(), False),
         T.StructField("seen_snapshot", T.StringType(), False),
         T.StructField("documents_snapshot", T.StringType(), False),
         T.StructField("partition_id", T.IntegerType(), False),

@@ -111,8 +111,10 @@ def test_robots_denied_never_fetched(crawl):
 
 def test_frontier_terminal_states(crawl):
     run, stats, golden = crawl
+    # drained crawl: pending MoR set is empty, done log holds terminals
+    assert run.pending.read(run.spark).count() == 0
     states = {
         r["state"]
-        for r in run.frontier.read(run.spark).select("state").distinct().collect()
+        for r in run.frontier_view().select("state").distinct().collect()
     }
     assert "pending" not in states and "fetched" in states

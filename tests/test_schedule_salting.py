@@ -83,3 +83,36 @@ def test_scheduling_order_is_priority_then_seq(spark):
     got = sorted((r["priority"], r["seq"]) for r in out.collect())
     assert all(p == 1 for p, _ in got), "lower priority value schedules first"
     assert len(got) == 3
+
+
+def test_quota_gate_defers_past_budget(spark):
+    from crawler_spark.frontier import quota_gate
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [("a", i, 100) for i in range(1, 11)] + [("b", i, 100) for i in range(1, 4)],
+        "authority string, seq long, cost long",
+    )
+    budgets = spark.createDataFrame(
+        [("a", 350)], "authority string, budget long"
+    )
+    admitted, deferred = quota_gate(rows, budgets)
+    got = {
+        (r["authority"], r["seq"]) for r in admitted.collect()
+    }
+    # 'a': cumsum 100,200,300,(400>350) -> first 3 admitted in seq order
+    assert got == {("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2), ("b", 3)}
+    assert deferred.count() == 7
+    # deterministic: the deferred rows are exactly seqs 4..10 of 'a'
+    assert {r["seq"] for r in deferred.collect()} == set(range(4, 11))
+
+
+def test_quota_gate_unbudgeted_keys_pass_through(spark):
+    from crawler_spark.frontier import quota_gate
+
+    rows = spark.createDataFrame(
+        [("x", i, 10**9) for i in range(5)], "authority string, seq long, cost long"
+    )
+    budgets = spark.createDataFrame([], "authority string, budget long")
+    admitted, deferred = quota_gate(rows, budgets)
+    assert admitted.count() == 5 and deferred.count() == 0
