@@ -63,19 +63,26 @@ def robots_allowed_udf(url: pd.Series, robots_txt: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=bool)
 
 
-def gate_robots(
-    frontier: DataFrame, robots: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """Split pending rows into (allowed, denied) by robots.txt.
+def robots_flag(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Pending rows + ``__allowed`` robots verdict (one UDF pass).
 
     robots is a small dim -> broadcast join; no shuffle of the frontier.
+    Callers persist THIS frame and filter it twice, so the gate UDF runs
+    once per round, not once per consumer.
     """
     joined = frontier.join(
         F.broadcast(robots), on=frontier["host"] == robots["host"], how="left"
     ).drop(robots["host"])
-    flagged = joined.withColumn(
+    return joined.withColumn(
         "__allowed", robots_allowed_udf(F.col("url"), F.col("robots_txt"))
     ).drop("robots_txt")
+
+
+def gate_robots(
+    frontier: DataFrame, robots: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Split pending rows into (allowed, denied) by robots.txt."""
+    flagged = robots_flag(frontier, robots)
     return (
         flagged.filter(F.col("__allowed")).drop("__allowed"),
         flagged.filter(~F.col("__allowed")).drop("__allowed"),

@@ -88,6 +88,7 @@ class CrawlRun:
         store_content: bool = True,
         broadcast_rows_max: int = 2_000_000,
         max_attempts: int = 3,
+        bloom_min_rows: int = 1_000_000,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -114,6 +115,21 @@ class CrawlRun:
         self.broadcast_rows_max = broadcast_rows_max
         # R4: total fetch attempts per URL before terminal failure
         self.max_attempts = max_attempts
+        # cost-based Bloom activation (same idea as AQE's broadcast
+        # threshold): below this many enqueued URLs the exact probe-shaped
+        # anti-joins are strictly cheaper than Bloom cogroup stages, so
+        # the Bloom tables are neither built nor consulted; the first
+        # round past the threshold builds them from the full tables
+        # (one-time O(table), amortized O(round)).  Set 0 to force the
+        # Bloom path (tests do).
+        self.bloom_min_rows = bloom_min_rows
+
+        # in-memory carry of per-shard lineage offsets between rounds —
+        # avoids a lineage-table read job per round; invalidated on
+        # resume so the first round after a crash re-reads the durable row
+        self._offsets_cache: dict[int, int] | None = None
+        # per-bloom-table (m_bits, conservative max items/shard) carry
+        self._bloom_meta: dict[str, tuple[int, int]] = {}
 
         t = lambda name, sch: SnapshotTable(os.path.join(state_dir, name), sch)
         # the pending set keeps the historical "frontier" directory/column
@@ -153,20 +169,14 @@ class CrawlRun:
         )
 
     def init(self) -> None:
-        """Seed the frontier (round 0 commit point)."""
+        """Seed the frontier (round 0 commit point).  Bloom tables are
+        created lazily by the first round whose frontier size crosses
+        ``bloom_min_rows`` (built from the full tables at that point)."""
         if self.pending.current_snapshot_id() is not None:
             return
         seeded = self.pending.commit_delta(
             self.spark, adds=FR.seed_frontier(self.seeds_df()), note="seed"
         )
-        if self.use_bloom:
-            self.url_bloom.overwrite(
-                SN.bloom_build(
-                    self.spark, seeded.select("url_hash"), None,
-                    n_shards=self.n_shards,
-                ),
-                note="seed",
-            )
         self._commit_lineage(
             round_id=0, fetched=0, extracted=0,
             delta_by_shard=self._shard_counts(seeded),
@@ -188,6 +198,8 @@ class CrawlRun:
         false positives, which the exact residue checks absorb.
         """
         shutil.rmtree(os.path.join(self.state_dir, "scratch"), ignore_errors=True)
+        self._offsets_cache = None
+        self._bloom_meta = {}
         last = self.last_committed_round()
         if last is None:
             self.init()
@@ -221,6 +233,25 @@ class CrawlRun:
                 table.overwrite(df, note=f"rollback-to-{sid}")
         return last + 1
 
+    def _enqueued_total(self) -> int:
+        """Total URLs ever enqueued (drives the Bloom activation
+        threshold) — free from the in-memory offsets carry; one lineage
+        read only on the first round after init/resume."""
+        if self._offsets_cache is None:
+            last = self.last_committed_round()
+            if last is None:
+                return 0
+            self._offsets_cache = {
+                int(r["partition_id"]): int(r["frontier_offset"])
+                for r in (
+                    self.lineage.read(self.spark)
+                    .filter(F.col("round_id") == last)
+                    .select("partition_id", "frontier_offset")
+                    .collect()
+                )
+            }
+        return sum(self._offsets_cache.values())
+
     def _shard_counts(self, df: DataFrame) -> dict[int, int]:
         """Per-shard row counts of a round-sized delta (tiny collect)."""
         return {
@@ -247,15 +278,19 @@ class CrawlRun:
         """
         offsets: dict[int, int] = {}
         if round_id > 0:
-            for r in (
-                self.lineage.read(self.spark)
-                .filter(F.col("round_id") == round_id - 1)
-                .select("partition_id", "frontier_offset")
-                .collect()
-            ):
-                offsets[int(r["partition_id"])] = int(r["frontier_offset"])
+            if self._offsets_cache is not None:
+                offsets = dict(self._offsets_cache)
+            else:
+                for r in (
+                    self.lineage.read(self.spark)
+                    .filter(F.col("round_id") == round_id - 1)
+                    .select("partition_id", "frontier_offset")
+                    .collect()
+                ):
+                    offsets[int(r["partition_id"])] = int(r["frontier_offset"])
         for pid, n in (delta_by_shard or {}).items():
             offsets[pid] = offsets.get(pid, 0) + n
+        self._offsets_cache = dict(offsets)
         sids = (
             self.pending.current_snapshot_id() or "",
             self.done.current_snapshot_id() or "",
@@ -276,37 +311,56 @@ class CrawlRun:
         self.lineage.append(df, note=f"round-{round_id}")
 
     def _bloom_commit(
-        self, table: SnapshotTable, delta: DataFrame, full: DataFrame, note: str
+        self,
+        table: SnapshotTable,
+        delta: DataFrame,
+        full: DataFrame,
+        note: str,
+        est_new_per_shard: int = 0,
     ) -> None:
         """Merge ``delta`` url_hashes into a sharded Bloom table, growing
         it geometrically when any shard nears capacity (ROADMAP #7: a
         fixed 1<<20 bitset caps out at ~10^6 hashes/shard).
 
-        The resize check reads only the 32 tiny state rows; a resize
-        rebuilds from ``full`` (all hashes) at the next power-of-two size
-        — an O(table) job that happens O(log n) times total, so the
-        amortized per-round cost stays O(round).
+        Sizing state (per-shard m_bits + conservative item-count bound)
+        is carried in memory between rounds and seeded from one 32-row
+        stats read per run — the steady-state round pays zero extra
+        jobs.  ``est_new_per_shard`` conservatively over-counts this
+        delta (early resize is harmless; a LATE resize only raises FP
+        rate, never correctness — the exact residue joins stay
+        authoritative).  First activation (lazy threshold crossing) and
+        resizes rebuild from ``full`` (all hashes) — an O(table) job
+        that happens O(log n) times total, so amortized per-round cost
+        stays O(round).
         """
-        prior = None
-        cur_m, max_n = SN.DEFAULT_M_BITS, 0
-        if table.current_snapshot_id() is not None:
-            prior = table.read(self.spark)
-            stats = prior.select(
-                (F.length("bits") * 8).alias("m"), "n_items"
-            ).collect()
-            if stats:
-                cur_m = max(int(r["m"]) for r in stats)
-                max_n = max(int(r["n_items"]) for r in stats)
+        meta = self._bloom_meta.get(table.root)
+        prior = table.read(self.spark) if table.current_snapshot_id() else None
+        if meta is None:
+            cur_m, max_n = SN.DEFAULT_M_BITS, 0
+            if prior is not None:
+                stats = prior.select(
+                    (F.length("bits") * 8).alias("m"), "n_items"
+                ).collect()
+                if stats:
+                    cur_m = max(int(r["m"]) for r in stats)
+                    max_n = max(int(r["n_items"]) for r in stats)
+        else:
+            cur_m, max_n = meta
+        max_n += est_new_per_shard
         target = SN.bloom_target_bits(max_n)
-        if target > cur_m:
+        if prior is None or target > cur_m:
+            # first activation or resize: rebuild from the FULL hash set
+            # so the filter is a superset of its base table from day one
+            cur_m = max(cur_m, target)
             state = SN.bloom_build(
-                self.spark, full, None, n_shards=self.n_shards, m_bits=target
+                self.spark, full, None, n_shards=self.n_shards, m_bits=cur_m
             )
         else:
             state = SN.bloom_build(
                 self.spark, delta, prior, n_shards=self.n_shards, m_bits=cur_m
             )
         table.overwrite(state, note=note)
+        self._bloom_meta[table.root] = (cur_m, max_n)
 
     # -- one round ------------------------------------------------------------
 
@@ -318,13 +372,19 @@ class CrawlRun:
         if pending_df.limit(1).count() == 0:
             return None
 
-        # 1. robots gate (R5) — broadcast join, pandas UDF.  Both halves
-        #    persist for the round: the gate output feeds budgets,
-        #    scheduling, tombstones and the done log, and without the
-        #    persist each consumer would re-run the UDF pass over pending.
-        allowed, denied = FR.gate_robots(pending_df, self.robots_df())
-        allowed = allowed.persist(StorageLevel.MEMORY_AND_DISK)
-        denied = denied.persist(StorageLevel.MEMORY_AND_DISK)
+        # 1. robots gate (R5) — broadcast join, pandas UDF.  The flagged
+        #    frame persists for the round: it feeds budgets, scheduling,
+        #    tombstones, the done log AND every membership probe against
+        #    "all pending rows", so the gate UDF and the MoR
+        #    reconciliation anti-join both run exactly once per round.
+        #    (Slim rows — ~200 B each; at 10^10-frontier scale the cache
+        #    spills to executor disk, which is still one materialization
+        #    instead of six re-scans.)
+        flagged = FR.robots_flag(pending_df, self.robots_df()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        allowed = flagged.filter(F.col("__allowed")).drop("__allowed")
+        denied = flagged.filter(~F.col("__allowed")).drop("__allowed")
 
         # 2. politeness schedule (R1) in salted per-host partitions
         budgets = FR.host_budgets(allowed, self.seeds_df(), self.round_seconds)
@@ -341,14 +401,13 @@ class CrawlRun:
         #    whole pages side (IO-bound, does not scale with cores), so
         #    instead the *scheduled* side — one short row per URL in
         #    flight this round — broadcasts against the pages scan
-        #    (inner, size-gated).  Misses (404s) are recovered AFTER the
-        #    extract stage from the round's own output (every hit emits
-        #    exactly one doc-or-log row with its own url): a broadcast
-        #    anti-join of the round-sized scheduled set against the
-        #    round-sized hit set — the pages table is scanned exactly
-        #    once per round and never shuffled.  html never leaves the
-        #    scan partition; it is consumed immediately by the extract
-        #    stage.
+        #    (inner, size-gated).  Misses (404s) fall out of the
+        #    transitions LEFT JOIN below for free (a scheduled url with
+        #    no doc/log output row was absent from pages) — the pages
+        #    table is scanned exactly once per round and never shuffled,
+        #    and no anti-join against it exists anywhere.  html never
+        #    leaves the scan partition; it is consumed immediately by
+        #    the extract stage.
         pages = self.pages_df().select(
             "url", "html", F.col("lang").alias("page_lang")
         )
@@ -390,58 +449,52 @@ class CrawlRun:
         out_raw.write.mode("overwrite").parquet(scratch)
         out_hits = spark.read.schema(EXTRACT_OUT).parquet(scratch)
 
-        # miss recovery (P7): scheduled urls with no doc/log row in the
-        # round output were absent from pages.  Synthesized as pure
-        # relational rows — they never pass through Python at all.
-        hit_urls = out_hits.filter(F.col("out_kind") != "child").select("url")
-        miss_rows = sched_cols.join(F.broadcast(hit_urls), "url", "left_anti")
-        miss_out = miss_rows.select(
-            F.lit("log").alias("out_kind"),
-            "url",
-            F.col("url").alias("parent_url"),
-            "authority",
-            "doc_type",
-            "depth",
-            "priority",
-            "seq",
-            F.lit(None).cast("string").alias("title"),
-            F.lit(None).cast("date").alias("release_date"),
-            F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast("binary").alias("content"),
-            F.lit(None).cast("string").alias("lang"),
-            F.lit("miss").alias("status"),
-            "doc_hash",
-            "raw_hash",
-        )
-        out = out_hits.unionByName(miss_out)
-
         # 4a. expansion: depth-0 listing children — URL-level dedupe
-        #     (Pagination.add_item + page_list memo, P5): the sharded
-        #     url Bloom clears definitely-new urls without touching the
-        #     frontier; the residue is verified with a probe-shaped
-        #     anti-join (frontier scanned, never shuffled)
+        #     (Pagination.add_item + page_list memo, P5): above the
+        #     bloom_min_rows threshold the sharded url Bloom clears
+        #     definitely-new urls without touching the frontier and the
+        #     residue is verified with a probe-shaped anti-join
+        #     (frontier scanned, never shuffled); below it the exact
+        #     probe joins run alone (cost-based choice — the Bloom
+        #     cogroup stages only pay off once the exact side is big)
+        bloom_active = (
+            self.use_bloom and self._enqueued_total() >= self.bloom_min_rows
+        )
         url_bloom_state = (
             self.url_bloom.read(spark)
-            if self.use_bloom and self.url_bloom.current_snapshot_id() is not None
+            if bloom_active and self.url_bloom.current_snapshot_id() is not None
             else None
         )
         seen_bloom_state = (
             self.bloom.read(spark)
-            if self.use_bloom and self.bloom.current_snapshot_id() is not None
+            if bloom_active and self.bloom.current_snapshot_id() is not None
             else None
         )
+        # "all enqueued" membership sources reuse the persisted flagged
+        # frame (= all pending rows) — no second MoR reconciliation scan
+        pending_slim = flagged.drop("__allowed")
         done_df = self.done.read(spark)
-        enqueued_urls = pending_df.select("url_hash").unionByName(
+        enqueued_urls = pending_slim.select("url_hash").unionByName(
             done_df.select("url_hash")
         )
-        depth1_enqueued = pending_df.filter(F.col("depth") == 1).unionByName(
+        depth1_enqueued = pending_slim.filter(F.col("depth") == 1).unionByName(
             done_df.filter(F.col("depth") == 1)
         )
-        children = out.filter(F.col("out_kind") == "child")
-        listing_children = SN.dedupe_against_seen(
-            self._to_frontier_rows(
-                children.filter(F.col("depth") == 0)
-            ).dropDuplicates(["url_hash"]),
+        # misses never produce children, so expansion reads hits only
+        children = out_hits.filter(F.col("out_kind") == "child")
+
+        # 4a+4c in ONE dedupe pass (one Bloom cogroup + one residue
+        # probe per round instead of two): depth-0 listing children with
+        # fresh keys ∪ depth>=2 file/redirect children with inherited
+        # keys (depth 3 = EDPB alert-redirect pdf)
+        url_children = SN.dedupe_against_seen(
+            self._to_frontier_rows(children.filter(F.col("depth") == 0))
+            .unionByName(
+                self._to_frontier_rows(
+                    children.filter(F.col("depth") >= 2), keep_keys=True
+                )
+            )
+            .dropDuplicates(["url_hash"]),
             enqueued_urls,
             url_bloom_state,
         )
@@ -461,17 +514,7 @@ class CrawlRun:
             bloom_state=seen_bloom_state,
         )
 
-        # 4c. expansion: depth>=2 file/redirect children (keys inherited
-        #     from the parent; depth 3 = EDPB alert-redirect pdf)
-        file_children = SN.dedupe_against_seen(
-            self._to_frontier_rows(
-                children.filter(F.col("depth") >= 2), keep_keys=True
-            ).dropDuplicates(["url_hash"]),
-            enqueued_urls,
-            url_bloom_state,
-        )
-
-        new_rows = listing_children.unionByName(admitted).unionByName(file_children)
+        new_rows = url_children.unionByName(admitted)
 
         # 5. documents: depth-1 doc rows + decoded depth-2 files; within a
         #    docpage, files >1 get '#<link_idx>' keys (fixtures oracle).
@@ -533,8 +576,13 @@ class CrawlRun:
         #    set this round (tombstone on (url_hash, retry_count)) and
         #    either goes terminal in the done log or — a miss with
         #    attempts left (R4) — re-enters pending with retry_count+1.
+        #    Misses (P7) fall out of the left join for free: a scheduled
+        #    url with no doc/log row in the round output was absent from
+        #    pages — no anti-join, no synthesized rows.  sched_out is
+        #    round-sized and slim; persisting it lets the done/log/
+        #    re-pend/metrics consumers share ONE scratch scan + shuffle.
         attempt_status = (
-            out.filter(F.col("out_kind") != "child")
+            out_hits.filter(F.col("out_kind") != "child")
             .select(
                 F.xxhash64(urls.canonicalize_simple(F.col("url"))).alias(
                     "url_hash"
@@ -544,9 +592,11 @@ class CrawlRun:
             )
             .dropDuplicates(["url_hash"])
         )
-        sched_out = scheduled.join(
-            F.broadcast(attempt_status), "url_hash", "left"
-        ).withColumn("status", F.coalesce(F.col("status"), F.lit("miss")))
+        sched_out = (
+            scheduled.join(F.broadcast(attempt_status), "url_hash", "left")
+            .withColumn("status", F.coalesce(F.col("status"), F.lit("miss")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         fr_cols = [f.name for f in S.FRONTIER.fields]
 
         def _with_state(df: DataFrame, state: str) -> DataFrame:
@@ -583,99 +633,127 @@ class CrawlRun:
             "bytes",
         )
 
-        # -- stats (actions) --------------------------------------------------
-        if self.light_stats:
-            n_docs = n_seen = None
-        else:
-            n_docs = doc_rows.count()
-            n_seen = seen_delta.count()
+        # -- stats ------------------------------------------------------------
+        # n_docs comes from the metrics aggregation (collected below —
+        # no separate count job over the heavy round output)
+        n_seen = None if self.light_stats else seen_delta.count()
 
+        # per-authority metrics = hits aggregation (expanded/doc/bytes
+        # from one column-pruned scratch scan) merged with the miss
+        # counts from the persisted sched_out — no union plan, no second
+        # heavy scan
+        hit_agg = out_hits.groupBy("authority").agg(
+            F.sum(F.when(F.col("out_kind") == "child", 1).otherwise(0)).alias(
+                "expanded"
+            ),
+            F.sum(F.when(F.col("out_kind") == "doc", 1).otherwise(0)).alias(
+                "fetched"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("out_kind") != "child") & (F.col("status") != "ok"), 1
+                ).otherwise(0)
+            ).alias("failed_hits"),
+            F.sum(
+                F.when(F.col("out_kind").isin("doc", "log"), 1).otherwise(0)
+            ).alias("sched_hits"),
+            F.sum(
+                F.when(F.col("text").isNotNull(), F.length("text")).otherwise(0)
+            ).alias("bytes_extracted"),
+        )
+        miss_agg = (
+            sched_out.filter(F.col("status") == "miss")
+            .groupBy("authority")
+            .agg(F.count("*").alias("n_miss"))
+        )
         met = (
-            out.groupBy("authority")
-            .agg(
-                F.sum(F.when(F.col("out_kind") == "child", 1).otherwise(0)).alias(
-                    "expanded"
-                ),
-                F.sum(F.when(F.col("out_kind") == "doc", 1).otherwise(0)).alias(
-                    "fetched"
-                ),
-                F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias(
-                    "failed"
-                ),
-                F.sum(
-                    F.when(F.col("out_kind").isin("doc", "log"), 1).otherwise(0)
-                ).alias("scheduled"),
-                F.sum(
-                    F.when(
-                        F.col("text").isNotNull(), F.length("text")
-                    ).otherwise(0)
-                ).alias("bytes_extracted"),
-            )
+            hit_agg.join(miss_agg, "authority", "full_outer")
+            .na.fill({"expanded": 0, "fetched": 0, "failed_hits": 0,
+                      "sched_hits": 0, "bytes_extracted": 0, "n_miss": 0})
             .select(
                 F.lit(round_id).cast("long").alias("round_id"),
                 "authority",
                 F.lit("*").alias("host"),
                 F.col("expanded").cast("long"),
                 F.lit(0).cast("long").alias("deduped"),
-                F.col("scheduled").cast("long"),
+                (F.col("sched_hits") + F.col("n_miss")).cast("long").alias(
+                    "scheduled"
+                ),
                 F.col("fetched").cast("long"),
-                F.col("failed").cast("long"),
+                (F.col("failed_hits") + F.col("n_miss")).cast("long").alias(
+                    "failed"
+                ),
                 F.col("bytes_extracted").cast("long"),
                 F.lit(int((time.time() - t0) * 1000)).cast("long").alias("wall_ms"),
             )
         )
 
         # -- commits (lineage last = commit point) ----------------------------
+        # The five data-table writes have independent DAGs (all rooted in
+        # the materialized scratch + the persisted scheduled/flagged/
+        # sched_out frames), so they run as CONCURRENT Spark jobs — round
+        # wall pays max(write) instead of sum(write).  Crash consistency
+        # is unchanged: resume only trusts tables up to the lineage row,
+        # which still commits strictly last on the driver thread.
+        from concurrent.futures import ThreadPoolExecutor
+
+        note = f"round-{round_id}"
         try:
-            self.documents.append(doc_rows, note=f"round-{round_id}")
-            _, seen_read = self.seen.append_read(
-                spark, seen_delta, note=f"round-{round_id}"
-            )
-            if self.use_bloom:
+            with ThreadPoolExecutor(max_workers=6) as ex:
+                # the metrics aggregation doubles as the round's doc
+                # count — one job, collected concurrently with the writes
+                f_met = ex.submit(met.collect)
+                f_docs = ex.submit(self.documents.append, doc_rows, note)
+                f_seen = ex.submit(
+                    self.seen.append_read, spark, seen_delta, note
+                )
+                f_log = ex.submit(self.fetch_log.append, log_rows, note)
+                f_pend = ex.submit(
+                    self.pending.commit_delta, spark, adds, tombstones, note
+                )
+                f_done = ex.submit(self.done.append, done_delta, note)
+                met_rows = f_met.result()
+                n_docs = int(sum(r["fetched"] for r in met_rows))
+                f_docs.result()
+                _, seen_read = f_seen.result()
+                f_log.result()
+                add_read = f_pend.result()
+                f_done.result()
+            if bloom_active:
                 self._bloom_commit(
                     self.bloom,
                     delta=seen_read.select("url_hash"),
                     full=self.seen.read(spark).select("url_hash"),
-                    note=f"round-{round_id}",
-                )
-            self.fetch_log.append(log_rows, note=f"round-{round_id}")
-            add_read = self.pending.commit_delta(
-                spark, adds=adds, deletes=tombstones, note=f"round-{round_id}"
-            )
-            self.done.append(done_delta, note=f"round-{round_id}")
-            if self.use_bloom:
-                self._bloom_commit(
-                    self.url_bloom,
-                    delta=add_read.select("url_hash"),
-                    full=self.frontier_view().select("url_hash"),
-                    note=f"round-{round_id}",
-                )
-            self.metrics.append(met, note=f"round-{round_id}")
-            if self.light_stats and n_docs is None:
-                # recover the doc count from the per-authority metrics
-                # aggregation (tiny table) instead of a second pass over
-                # the heavy round output
-                n_docs = int(
-                    self.metrics.read(spark)
-                    .filter(F.col("round_id") == round_id)
-                    .agg(F.coalesce(F.sum("fetched"), F.lit(0)).alias("n"))
-                    .collect()[0]["n"]
+                    note=note,
+                    # n_docs >= distinct new seen keys; 2x for shard skew
+                    est_new_per_shard=(2 * n_docs) // self.n_shards + 1,
                 )
             # incremental lineage offsets: only genuinely-new rows count
             # (re-pends carry retry_count > 0 and were counted at first
-            # enqueue)
+            # enqueue); the same tiny collect feeds the url-Bloom sizing
             delta_by_shard = self._shard_counts(
                 add_read.filter(F.col("retry_count") == 0)
             )
             n_new = sum(delta_by_shard.values())
+            if bloom_active:
+                self._bloom_commit(
+                    self.url_bloom,
+                    delta=add_read.select("url_hash"),
+                    full=self.frontier_view().select("url_hash"),
+                    note=note,
+                    est_new_per_shard=max(delta_by_shard.values(), default=0) + 1,
+                )
+            self.metrics.append(
+                spark.createDataFrame(met_rows, S.METRICS), note=note
+            )
             self._commit_lineage(
                 round_id, fetched=n_sched, extracted=n_docs,
                 delta_by_shard=delta_by_shard,
             )
         finally:
             scheduled.unpersist()
-            allowed.unpersist()
-            denied.unpersist()
+            flagged.unpersist()
+            sched_out.unpersist()
             shutil.rmtree(scratch, ignore_errors=True)
         return {
             "round": round_id,

@@ -148,3 +148,31 @@ def test_retry_disabled_is_single_attempt(spark, tmp_path, flaky_fix):
     assert len(log) == 1 and log[0]["status"] == "miss"
     final = run.frontier_view().filter(F.col("url") == gone).collect()
     assert final[0]["state"] == "failed" and final[0]["retry_count"] == 0
+
+
+def test_bloom_path_equals_exact_path(spark, tmp_path):
+    """bloom_min_rows=0 forces the sharded-Bloom membership path; the
+    final crawl state must be identical to the exact probe-join path,
+    and the Bloom tables must actually exist (consulted, not vestigial)."""
+    fix = fixture_dir("sf0.001")
+    a = _mk(spark, tmp_path / "nb", fix, use_bloom=False)
+    a.run(max_rounds=30)
+    b = _mk(spark, tmp_path / "wb", fix, bloom_min_rows=0)
+    b.run(max_rounds=30)
+
+    def state(run):
+        docs = sorted(
+            (r["seq"], r["url"], r["doc_hash"])
+            for r in run.documents.read(spark)
+            .select("seq", "url", "doc_hash")
+            .collect()
+        )
+        seen = sorted(
+            r["doc_hash"] for r in run.seen.read(spark).select("doc_hash").collect()
+        )
+        return docs, seen
+
+    assert state(a) == state(b)
+    assert b.url_bloom.current_snapshot_id() is not None
+    assert b.bloom.current_snapshot_id() is not None
+    assert a.url_bloom.current_snapshot_id() is None  # exact path built none
