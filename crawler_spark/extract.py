@@ -257,6 +257,45 @@ REGISTRY: dict[str, dict] = {
         "depth2_href_filter": r".",  # any href the selectors yield
         "politeness_delay_s": 0.0,
     },
+    "cyprus": {
+        # content-block photo-list items with %d/%m/%Y dates
+        # (``pygdpr/models/dpa/cyprus/__init__.py:74-95``)
+        "lang": "el",
+        "listing_item_selector": "div.content-block li.photos",
+        "item_title_selector": "a",
+        "item_date_selector": "span.date",
+        "item_link_selector": "a",
+        "date_format": "%d/%m/%Y",
+        "pagination": "next",
+        "pagination_selector": "ul.Pages li.next a",
+        "retention": "window",
+        "body_selector": "div.article-body",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 0.0,
+    },
+    "latvia": {
+        # year-accordion -> table rows with positional td cells; the
+        # title is SYNTHESIZED as manager + '-' + date_str, the date
+        # format carries a trailing dot, rows without a digit-leading
+        # date or without a pdf link are skipped, and the pdf IS the
+        # document (``pygdpr/models/dpa/latvia/__init__.py:86-131``).
+        "lang": "lv",
+        "listing_mode": "accordion_table",
+        "listing_container_selector": "div.block-ministry-content div.accordion",
+        "td_manager": 0,
+        "td_pdf": 1,
+        "td_date": 2,
+        "date_format": "%d.%m.%Y.",
+        "doc_is_file": True,
+        "pagination": "next",
+        "pagination_selector": "ul.Pages li.next a",
+        "retention": "window",
+        "body_selector": "div.article-body",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 0.0,
+    },
     "czech_republic": {
         # File.ashx attachment links on the docpage
         # (``pygdpr/models/dpa/czech_republic/__init__.py:190-216``):
@@ -419,6 +458,26 @@ def parse_listing(authority: str, page_url: str, html_text: str) -> dict:
             items.append(
                 (href[-23:-4], href[-8:-4], canonicalize_one(href, page_url))
             )
+    elif mode == "accordion_table":
+        # latvia (latvia/__init__.py:90-131): per year-accordion, skip
+        # the table header row, read positional td cells; synthesize the
+        # title as manager + '-' + date_str; skip rows whose date cell
+        # does not start with a digit or whose pdf cell has no link
+        ti, pi, di = cfg["td_manager"], cfg["td_pdf"], cfg["td_date"]
+        for acc in root.select(cfg["listing_container_selector"]):
+            for tr in acc.find_all("tr")[1:]:
+                tds = tr.find_all("td")
+                if len(tds) <= max(ti, pi, di):
+                    continue
+                date_str = tds[di].get_text().strip()
+                if not date_str or not date_str[0].isdigit():
+                    continue
+                a = tds[pi].find("a")
+                href = a.get("href") if a is not None else None
+                if not href:
+                    continue
+                title = tds[ti].get_text().strip() + "-" + date_str
+                items.append((title, date_str, canonicalize_one(href, page_url)))
     else:
         link_attr = cfg.get("item_link_attr", "href")
         for el in root.select(cfg["listing_item_selector"]):

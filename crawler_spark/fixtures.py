@@ -52,12 +52,14 @@ HOSTS = {
     "belgium": "www.autoriteprotectiondonnees.be",
     "edpb": "edpb.europa.eu",
     "czech_republic": "www.uoou.cz",
+    "cyprus": "www.dataprotection.gov.cy",
+    "latvia": "www.dvi.gov.lv",
 }
 
 BASE_AUTHORITIES = (
     "austria", "ireland", "denmark", "finland", "italy", "italy_news",
     "romania", "croatia", "united_kingdom", "belgium", "edpb",
-    "czech_republic",
+    "czech_republic", "cyprus", "latvia",
 )
 
 
@@ -178,6 +180,10 @@ def cz_file_url(a: str, p: int, i: int, j: int) -> str:
     return f"https://{host_for(a)}/media/File.ashx?id={a}-{p}-{i}-{j}"
 
 
+def lv_file_url(a: str, p: int, i: int) -> str:
+    return f"https://{host_for(a)}/media/{a}/dec-{p}-{i}.pdf"
+
+
 def _be_zip_bytes(a: str, p: int, i: int) -> bytes:
     """Real zip of html members (belgium/__init__.py:655-661 explode)."""
     import io
@@ -233,6 +239,42 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
                 f'<a href="{list_url(a, k + 1)}">Next</a></li></ul>'
             )
         return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
+    if b == "latvia":
+        # year accordions -> header row + positional td rows; every 6th
+        # row has no pdf link (the parser must skip it, latvia:120-124)
+        by_year: dict[int, list[int]] = {}
+        for i in range(1, n_items + 1):
+            by_year.setdefault(_doc_date(a, k, i).year, []).append(i)
+        accs = []
+        for year in sorted(by_year):
+            trs = ["<tr><td>Vaditajs</td><td>Lemums</td><td>Datums</td></tr>"]
+            for i in by_year[year]:
+                date_s = _fmt(a, _doc_date(a, k, i))
+                pdf_cell = (
+                    "<td>-</td>"
+                    if i % 6 == 5
+                    else f'<td><a href="{lv_file_url(a, k, i)}">PDF</a></td>'
+                )
+                trs.append(
+                    f"<tr><td>Inspektors {k}-{i}</td>{pdf_cell}"
+                    f"<td>{date_s}</td></tr>"
+                )
+            accs.append(
+                f'<div class="accordion"><button class="btn btn-link">{year}'
+                f'</button><div class="card-body"><table>{"".join(trs)}'
+                f"</table></div></div>"
+            )
+        body = (
+            f'<div class="block-ministry-content"><div class="node">'
+            f'<div class="content">{"".join(accs)}</div></div></div>'
+        )
+        pager = ""
+        if k < n_pages:
+            pager = (
+                f'<ul class="Pages"><li class="next">'
+                f'<a href="{list_url(a, k + 1)}">Next</a></li></ul>'
+            )
+        return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
     for i in range(1, n_items + 1):
         t, d, href = _title(a, k, i), _fmt(a, _doc_date(a, k, i)), doc_url(a, k, i)
         if b == "austria":
@@ -279,6 +321,11 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
                 f'<div class="item"><a class="item-title" href="{href}">{t}</a>'
                 f'<span class="date">{d}</span></div>'
             )
+        elif b == "cyprus":
+            rows.append(
+                f'<li class="photos"><a href="{href}">{t}</a>'
+                f'<span class="date">{d}</span></li>'
+            )
         else:  # italy / italy_news
             rows.append(
                 f'<div class="post"><h3><a href="{href}">{t}</a></h3>'
@@ -293,6 +340,7 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
         "united_kingdom": '<div class="resultlist">{r}</div>',
         "edpb": '<div class="view-content">{r}</div>',
         "czech_republic": '<div class="item-list">{r}</div>',
+        "cyprus": '<div class="content-block"><ul>{r}</ul></div>',
         "italy": '<div class="posts">{r}</div>',
         "italy_news": '<div class="posts">{r}</div>',
     }[b].format(r="".join(rows))
@@ -460,6 +508,17 @@ def generate(
                     )
                     content = hdr + payload.encode()
                     add(furl, content, payload if ground_truth else None, lang, off)
+                    off += 1
+                    continue
+                if b == "latvia":
+                    if i % 6 == 5:  # row without a pdf link, never fetched
+                        continue
+                    payload = _para_text(a, k, i, doc_pad_lines)
+                    content = X.FAKE_PDF_HEADER + payload.encode()
+                    add(
+                        lv_file_url(a, k, i), content,
+                        payload if ground_truth else None, lang, off,
+                    )
                     off += 1
                     continue
                 if b == "belgium":

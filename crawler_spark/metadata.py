@@ -20,6 +20,8 @@ and RE2 (DuckDB): no backrefs, no lookaround.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -284,6 +286,264 @@ def citation_count(docs: DataFrame) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_citations"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 full semantics: penalty/fine sentence gate -> numeric-word join ->
+# currency dimension match (code / plural / symbol forms)
+# ---------------------------------------------------------------------------
+
+#: EU currency dimension — the reference ships this as
+#: ``pygdpr/assets/eu-currencies.json`` (consumed at
+#: ``monetary_penalties_metadata_service/__init__.py:37-58``); facts of
+#: the currencies themselves, deduplicated per code.
+EU_CURRENCIES: list[tuple[str, str | None, tuple[str, ...]]] = [
+    # (code, symbol, plural names)
+    ("EUR", "€", ("euro", "euros")),
+    ("BGN", None, ("leva", "levove")),
+    ("CZK", "kč", ()),
+    ("DKK", "kr.", ("kroner",)),
+    ("HUF", "ft", ("forint", "forints")),
+    ("PLN", "zł", ("zlote", "zlotych")),
+    ("RON", None, ("lei",)),
+    ("SEK", "kr", ("kronor",)),
+    ("HRK", "kn", ("kuna", "kune")),
+    ("GBP", "£", ("pound", "pounds")),
+]
+
+#: one match pattern per (code, form); built once in python so the Spark
+#: expression and the DuckDB oracle compile the SAME regexes
+def _currency_patterns() -> list[tuple[str, str]]:
+    pats = []
+    for code, symbol, plurals in EU_CURRENCIES:
+        lc = code.lower()
+        # code followed by a number ("eur 1234567") — :43-45
+        pats.append((code, rf"\b{lc} ([0-9]+)\b"))
+        if plurals:
+            # number followed by a plural name ("1234 kroner") — :39-42
+            pats.append((code, rf"\b([0-9]+) (?:{'|'.join(plurals)})\b"))
+        if symbol:
+            es = re.escape(symbol)
+            # symbol attached or space-separated ("€1234", "1234 kč") — :46-56
+            pats.append((code, rf"{es} ?([0-9]+)\b"))
+            pats.append((code, rf"\b([0-9]+) ?{es}"))
+    return pats
+
+
+def with_penalty_text(docs: DataFrame) -> DataFrame:
+    """Deterministic penalty sentences: a gated sentence in one of three
+    currency forms (digit-grouped numbers for the code/plural forms so
+    the numeric-word join does real work), a decoy amount WITHOUT the
+    penalty/fine keyword, and every 5th doc with no penalty at all."""
+    amt = (F.col("doc_id") * 977 % 9_000_000 + 1000).cast("long")
+    grouped = F.regexp_replace(F.format_number(amt, 0), ",", " ")
+    cur_idx = (F.col("doc_id") % 10).cast("int")
+    codes = F.array(*[F.lit(c) for c, _, _ in EU_CURRENCIES])
+    plural0 = F.array(
+        *[F.lit(p[0] if p else c.lower()) for c, _, p in EU_CURRENCIES]
+    )
+    form = F.col("doc_id") % 4
+    sent = (
+        F.when(form == 0, F.concat(F.lit(" A fine of "), F.element_at(codes, cur_idx + 1), F.lit(" "), grouped, F.lit(" was imposed.")))
+        .when(form == 1, F.concat(F.lit(" The penalty was "), grouped, F.lit(" "), F.element_at(plural0, cur_idx + 1), F.lit(" in total.")))
+        .when(form == 2, F.concat(F.lit(" A fine of €"), amt.cast("string"), F.lit(" was announced.")))
+        .otherwise(F.concat(F.lit(" The fine amounts to "), amt.cast("string"), F.lit(" kr.")))
+    )
+    tail = F.when(
+        F.col("doc_id") % 5 == 4, F.lit(" No sanction was issued.")
+    ).otherwise(sent)
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(". The budget of €999 is unrelated."),  # decoy: no keyword
+            tail,
+        ),
+    )
+
+
+DUCK_PENALTY_TEXT = (
+    "text || '. The budget of €999 is unrelated.' || "
+    "(CASE WHEN doc_id % 5 = 4 THEN ' No sanction was issued.' ELSE "
+    "(CASE doc_id % 4 "
+    " WHEN 0 THEN ' A fine of ' || list_extract({codes}, cast(doc_id % 10 as int) + 1)"
+    "   || ' ' || replace(format('{{:,}}', doc_id * 977 % 9000000 + 1000), ',', ' ') || ' was imposed.'"
+    " WHEN 1 THEN ' The penalty was ' || replace(format('{{:,}}', doc_id * 977 % 9000000 + 1000), ',', ' ')"
+    "   || ' ' || list_extract({plurals}, cast(doc_id % 10 as int) + 1) || ' in total.'"
+    " WHEN 2 THEN ' A fine of €' || cast(doc_id * 977 % 9000000 + 1000 as varchar) || ' was announced.'"
+    " ELSE ' The fine amounts to ' || cast(doc_id * 977 % 9000000 + 1000 as varchar) || ' kr.' END) END)"
+).format(
+    codes="[" + ", ".join(f"'{c}'" for c, _, _ in EU_CURRENCIES) + "]",
+    plurals="["
+    + ", ".join(f"'{p[0] if p else c.lower()}'" for c, _, p in EU_CURRENCIES)
+    + "]",
+)
+
+
+def monetary_penalties_full(docs: DataFrame) -> DataFrame:
+    """A6 with the reference's structure
+    (monetary_penalties_metadata_service/__init__.py:6-79):
+
+    1. sentence scan, keep sentences naming a penalty/fine (:30);
+    2. join adjacent numeric words ("900 000" -> "900000",
+       join_numeric_words :7-21) — two global passes of ``(\\d) (\\d)``
+       removal (no lookaround, RE2-safe);
+    3. currency-dimension match (eu-currencies.json): code-then-number,
+       number-then-plural, symbol attached/separated (:37-58);
+    4. emit (doc_id, currency_code, amount, n) — price_parser collapses
+       to a digits cast under the deterministic fixture forms.
+    """
+    d = with_penalty_text(docs)
+    sent = d.select(
+        "doc_id",
+        F.explode(F.expr("split(lower(text), '[.!?] ')")).alias("sent"),
+    ).filter(F.col("sent").rlike(r"\b(penalty|fine)\b"))
+    joined = sent.withColumn(
+        "sent",
+        F.regexp_replace(
+            F.regexp_replace(F.col("sent"), r"([0-9]) ([0-9])", r"$1$2"),
+            r"([0-9]) ([0-9])",
+            r"$1$2",
+        ),
+    )
+    parts = []
+    for code, pat in _currency_patterns():
+        parts.append(
+            joined.select(
+                "doc_id",
+                F.lit(code).alias("currency_code"),
+                F.explode(
+                    F.expr(
+                        "regexp_extract_all(sent, '"
+                        + pat.replace("\\", "\\\\").replace("'", "''")
+                        + "', 1)"
+                    )
+                ).alias("amt"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.select(
+            "doc_id",
+            "currency_code",
+            F.col("amt").cast("double").alias("amount"),
+        )
+        .groupBy("doc_id", "currency_code", "amount")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 full semantics: absolute-date search (day+month+year all present)
+# ---------------------------------------------------------------------------
+
+EN_MONTHS = (
+    "january", "february", "march", "april", "may", "june", "july",
+    "august", "september", "october", "november", "december",
+)
+_MONTHS_ALT = "|".join(EN_MONTHS)
+
+#: the four absolute forms the deterministic search recognizes — the
+#: reference uses ``dateparser.search_dates(STRICT_PARSING)`` plus
+#: AbsoluteDateSpecification (day AND month AND year present,
+#: absolute_date_specification.py:35-46); month-only or relative
+#: expressions never match these patterns.
+TIMELINE_FORMS = (
+    # (pattern, day group, month group (numeric), month-name group, year group)
+    (r"\b([0-9]{4})-([0-9]{2})-([0-9]{2})\b", 3, 2, None, 1),
+    (r"\b([0-9]{1,2})-([0-9]{2})-([0-9]{4})\b", 1, 2, None, 3),
+    (rf"\b([0-9]{{1,2}}) ({_MONTHS_ALT}) ([0-9]{{4}})\b", 1, None, 2, 3),
+    (rf"\b({_MONTHS_ALT}) ([0-9]{{1,2}}), ([0-9]{{4}})\b", 2, None, 1, 3),
+)
+
+
+def with_timeline_text(docs: DataFrame) -> DataFrame:
+    """One absolute date per doc in a rotating form + a decoy that has
+    no day component (month+year — AbsoluteDateSpecification rejects)."""
+    n = (F.col("doc_id") % 2000).cast("int")
+    y = (F.lit(2018) + (n / 365).cast("int")).cast("int")
+    m = (n % 12 + 1).cast("int")
+    dd = (n % 28 + 1).cast("int")
+    months = F.array(*[F.lit(x) for x in EN_MONTHS])
+    mname = F.element_at(months, m)
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")
+    form = F.col("doc_id") % 4
+    datestr = (
+        F.when(form == 0, F.concat(y.cast("string"), F.lit("-"), two(m), F.lit("-"), two(dd)))
+        .when(form == 1, F.concat(two(dd), F.lit("-"), two(m), F.lit("-"), y.cast("string")))
+        .when(form == 2, F.concat(dd.cast("string"), F.lit(" "), mname, F.lit(" "), y.cast("string")))
+        .otherwise(F.concat(mname, F.lit(" "), dd.cast("string"), F.lit(", "), y.cast("string")))
+    )
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(". The decision was issued on "), datestr,
+            F.lit(". Proceedings opened in "), mname,
+            F.lit(" "), y.cast("string"), F.lit(" generally."),
+        ),
+    )
+
+
+DUCK_TIMELINE_TEXT = (
+    "text || '. The decision was issued on ' || "
+    "(CASE doc_id % 4 "
+    " WHEN 0 THEN cast(yy as varchar) || '-' || lpad(cast(mm as varchar),2,'0') || '-' || lpad(cast(dd as varchar),2,'0')"
+    " WHEN 1 THEN lpad(cast(dd as varchar),2,'0') || '-' || lpad(cast(mm as varchar),2,'0') || '-' || cast(yy as varchar)"
+    " WHEN 2 THEN cast(dd as varchar) || ' ' || mname || ' ' || cast(yy as varchar)"
+    " ELSE mname || ' ' || cast(dd as varchar) || ', ' || cast(yy as varchar) END)"
+    " || '. Proceedings opened in ' || mname || ' ' || cast(yy as varchar) || ' generally.'"
+)
+
+
+def timeline_full(docs: DataFrame) -> DataFrame:
+    """A5 with the reference's absolute-date semantics
+    (timeline_metadata_service/__init__.py:8-41 + the day/month/year
+    presence spec): per sentence, collect dates where day, month AND
+    year are explicitly present (four concrete forms replacing
+    dateparser's fuzzy search), emit dd/MM/yyyy strings (:31).
+    Output: (doc_id, date_str, n).
+    """
+    d = with_timeline_text(docs)
+    sent = d.select(
+        "doc_id",
+        F.explode(F.expr("split(lower(text), '[.!?] ')")).alias("sent"),
+    )
+    months = F.array(*[F.lit(x) for x in EN_MONTHS])
+    parts = []
+    for pat, gd, gm, gmn, gy in TIMELINE_FORMS:
+        sql_pat = pat.replace("\\", "\\\\").replace("'", "''")
+        m = sent.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(sent, '{sql_pat}', 0)")
+            ).alias("m"),
+        )
+        day = F.regexp_extract("m", pat, gd).cast("int")
+        year = F.regexp_extract("m", pat, gy)
+        if gm is not None:
+            month = F.regexp_extract("m", pat, gm).cast("int")
+        else:
+            month = F.array_position(months, F.regexp_extract("m", pat, gmn)).cast(
+                "int"
+            )
+        parts.append(
+            m.select(
+                "doc_id",
+                F.concat(
+                    F.lpad(day.cast("string"), 2, "0"), F.lit("/"),
+                    F.lpad(month.cast("string"), 2, "0"), F.lit("/"), year,
+                ).alias("date_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("doc_id", "date_str").agg(
+        F.count("*").cast("bigint").alias("n")
     )
 
 

@@ -755,6 +755,87 @@ FROM d
 """
 
 
+def q_timeline_full(spark, sf_dir):
+    """A5 full semantics: per-sentence absolute-date search (day+month+
+    year all present; four concrete forms replacing dateparser's fuzzy
+    search), dd/MM/yyyy output
+    (timeline_metadata_service/__init__.py:8-41)."""
+    return metadata.timeline_full(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_timeline_full() -> str:
+    months = "[" + ", ".join(f"'{m}'" for m in metadata.EN_MONTHS) + "]"
+    form_selects = []
+    for pat, gd, gm, gmn, gy in metadata.TIMELINE_FORMS:
+        p = pat.replace("'", "''")
+        month = (
+            f"cast(regexp_extract(m, '{p}', {gm}) as int)"
+            if gm is not None
+            else f"cast(list_position({months}, regexp_extract(m, '{p}', {gmn})) as int)"
+        )
+        form_selects.append(
+            f"SELECT doc_id, lpad(cast(cast(regexp_extract(m, '{p}', {gd}) as int) as varchar), 2, '0')"
+            f" || '/' || lpad(cast({month} as varchar), 2, '0')"
+            f" || '/' || regexp_extract(m, '{p}', {gy}) AS date_str"
+            f" FROM (SELECT doc_id, unnest(regexp_extract_all(sent, '{p}', 0)) AS m FROM sents)"
+        )
+    union = " UNION ALL ".join(form_selects)
+    return f"""
+WITH base AS (
+  SELECT doc_id, cast(doc_id % 2000 as int) AS n FROM documents),
+parts AS (
+  SELECT d.doc_id, d.text, b.n,
+    cast(2018 + b.n // 365 as int) AS yy,
+    cast(b.n % 12 + 1 as int) AS mm,
+    cast(b.n % 28 + 1 as int) AS dd,
+    list_extract({months}, cast(b.n % 12 + 1 as int)) AS mname
+  FROM documents d JOIN base b USING (doc_id)),
+aug AS (SELECT doc_id, {metadata.DUCK_TIMELINE_TEXT} AS text FROM parts),
+sents AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[.!?] ')) AS sent FROM aug),
+dates AS ({union})
+SELECT doc_id, date_str, cast(count(*) as bigint) AS n
+FROM dates GROUP BY doc_id, date_str
+"""
+
+
+ORACLE_TIMELINE_FULL = _oracle_timeline_full()
+
+
+def q_monetary_penalties_full(spark, sf_dir):
+    """A6 full semantics: penalty/fine gate -> numeric-word join ->
+    currency-dimension match (code/plural/symbol forms,
+    eu-currencies.json shape) -> (doc_id, currency_code, amount, n)
+    (monetary_penalties_metadata_service/__init__.py:6-79)."""
+    return metadata.monetary_penalties_full(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_monetary_full() -> str:
+    form_selects = []
+    for code, pat in metadata._currency_patterns():
+        p = pat.replace("'", "''")
+        form_selects.append(
+            f"SELECT doc_id, '{code}' AS currency_code,"
+            f" cast(unnest(regexp_extract_all(sent, '{p}', 1)) as double) AS amount"
+            f" FROM joined"
+        )
+    union = " UNION ALL ".join(form_selects)
+    return f"""
+WITH aug AS (SELECT doc_id, {metadata.DUCK_PENALTY_TEXT} AS text FROM documents),
+sents AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[.!?] ')) AS sent FROM aug),
+gated AS (SELECT * FROM sents WHERE regexp_matches(sent, '\\b(penalty|fine)\\b')),
+joined AS (SELECT doc_id,
+    regexp_replace(regexp_replace(sent, '([0-9]) ([0-9])', '\\1\\2', 'g'),
+                   '([0-9]) ([0-9])', '\\1\\2', 'g') AS sent
+  FROM gated),
+matches AS ({union})
+SELECT doc_id, currency_code, amount, cast(count(*) as bigint) AS n
+FROM matches GROUP BY doc_id, currency_code, amount
+"""
+
+
+ORACLE_MONETARY_FULL = _oracle_monetary_full()
+
+
 def q_join_lines(spark, sf_dir):
     """X8 over a multi-line variant of the corpus (deterministic line
     breaks injected after words ending in 'e', both engines)."""
@@ -1186,7 +1267,9 @@ QUERIES = {
     "citation_count": q_citation_count,
     "keywords_topk": q_keywords_topk,
     "timeline": q_timeline,
+    "timeline_full": q_timeline_full,
     "monetary_penalties": q_monetary_penalties,
+    "monetary_penalties_full": q_monetary_penalties_full,
     "join_lines": q_join_lines,
     "doc_keys": q_doc_keys,
     "word_preprocess": q_word_preprocess,
@@ -1230,7 +1313,9 @@ ORACLES = {
     "citation_count": ORACLE_CITATION_COUNT,
     "keywords_topk": ORACLE_KEYWORDS,
     "timeline": ORACLE_TIMELINE,
+    "timeline_full": ORACLE_TIMELINE_FULL,
     "monetary_penalties": ORACLE_PENALTIES,
+    "monetary_penalties_full": ORACLE_MONETARY_FULL,
     "join_lines": ORACLE_JOIN_LINES,
     "doc_keys": ORACLE_DOC_KEYS,
     "word_preprocess": ORACLE_WORD_PREPROCESS,
