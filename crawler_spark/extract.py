@@ -257,6 +257,27 @@ REGISTRY: dict[str, dict] = {
         "depth2_href_filter": r".",  # any href the selectors yield
         "politeness_delay_s": 0.0,
     },
+    "lithuania": {
+        # rolling year context: digit-only <p>s set the current year;
+        # document links are <a>s inside content <p>s (several per
+        # paragraph), gated to pdf; the date is the title's LAST word if
+        # it starts with a digit, else the latest year header + '-01-01'
+        # (``pygdpr/models/dpa/lithuania/__init__.py:80-110``); the pdf
+        # IS the document.
+        "lang": "lt",
+        "listing_mode": "year_paragraphs",
+        "listing_container_selector": "div.content",
+        "link_gate": r"pdf$",
+        "date_format": "%Y-%m-%d",
+        "doc_is_file": True,
+        "pagination": "next",
+        "pagination_selector": "ul.Pages li.next a",
+        "retention": "window",
+        "body_selector": "div.article-body",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 0.0,
+    },
     "cyprus": {
         # content-block photo-list items with %d/%m/%Y dates
         # (``pygdpr/models/dpa/cyprus/__init__.py:74-95``)
@@ -458,6 +479,32 @@ def parse_listing(authority: str, page_url: str, html_text: str) -> dict:
             items.append(
                 (href[-23:-4], href[-8:-4], canonicalize_one(href, page_url))
             )
+    elif mode == "year_paragraphs":
+        # lithuania (lithuania/__init__.py:80-110): digit-only <p>s set
+        # the rolling year; each content <p> may hold several document
+        # links; date = title's last word if digit-leading, else the
+        # latest year header + '-01-01'
+        container = root.select_one(cfg["listing_container_selector"])
+        year: str | None = None
+        for p in (container.find_all("p") if container is not None else []):
+            txt = p.get_text().strip()
+            if txt.isdigit():
+                year = txt
+                continue
+            for a in p.find_all("a"):
+                href = a.get("href")
+                title = a.get_text()
+                if not href or (gate and not re.search(gate, href)):
+                    continue
+                words = title.split()
+                last = words[-1] if words else ""
+                if last and last[0].isdigit():
+                    date_str = last
+                elif year is not None:
+                    date_str = f"{year}-01-01"
+                else:
+                    continue
+                items.append((title, date_str, canonicalize_one(href, page_url)))
     elif mode == "accordion_table":
         # latvia (latvia/__init__.py:90-131): per year-accordion, skip
         # the table header row, read positional td cells; synthesize the
@@ -648,26 +695,85 @@ def decode_pdf(content: bytes) -> str:
 
 
 def decode_docx(content: bytes) -> str:
-    """X4: docx2txt path (pygdpr/models/dpa/united_kingdom/__init__.py:468-486)."""
-    try:  # pragma: no cover
-        import docx2txt  # noqa: F401
-
-        raise NotImplementedError("wire docx2txt here on a full image")
-    except ImportError:
-        pass
+    """X4: docx text extraction
+    (pygdpr/models/dpa/united_kingdom/__init__.py:468-486 uses
+    docx2txt).  A .docx is a zip whose ``word/document.xml`` holds the
+    text, so the real decode needs only stdlib zipfile + ElementTree:
+    paragraphs (``w:p``) joined with newlines, runs (``w:t``)
+    concatenated — the same text docx2txt yields for plain documents.
+    The legacy fake container from older fixtures still decodes.
+    """
     if content.startswith(FAKE_DOCX_HEADER):
         return content[len(FAKE_DOCX_HEADER):].decode("utf-8")
-    raise NotImplementedError("real DOCX decoding requires docx2txt")
+    import xml.etree.ElementTree as ET
+
+    W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+    try:
+        with zipfile.ZipFile(io.BytesIO(content)) as z:
+            xml_bytes = z.read("word/document.xml")
+    except (zipfile.BadZipFile, KeyError) as e:
+        raise NotImplementedError(f"not a decodable docx: {e}")
+    root = ET.fromstring(xml_bytes)
+    paras = []
+    for p in root.iter(f"{W}p"):
+        paras.append("".join(t.text or "" for t in p.iter(f"{W}t")))
+    return "\n".join(paras)
 
 
 def decode_rtf(content: bytes) -> str:
-    """X5: striprtf path (pygdpr/models/dpa/france/__init__.py:16);
-    fallback handles the plain ``{\\rtf1 ...}`` fixtures emit."""
-    s = content.decode("utf-8", errors="replace")
-    m = re.match(r"^\{\\rtf1\s?(.*)\}\s*$", s, re.S)
-    if m:
-        return m.group(1).replace("\\par", "\n")
-    raise NotImplementedError("real RTF decoding requires striprtf")
+    """X5: RTF text extraction (the reference uses striprtf,
+    pygdpr/models/dpa/france/__init__.py:16).  Small real parser over
+    the RTF grammar subset legal documents use: destination groups
+    (fonttbl/colortbl/stylesheet/info/pict + ``\\*`` destinations) are
+    dropped whole, ``\\par``/``\\line`` become newlines, other control
+    words are stripped, escaped braces and ``\\'hh`` hex escapes are
+    decoded, group braces vanish."""
+    s = content.decode("latin-1", errors="replace")
+    if not s.lstrip().startswith("{\\rtf"):
+        raise NotImplementedError("not an RTF payload")
+    out: list[str] = []
+    skip_depth = 0  # inside a dropped destination group
+    depth = 0
+    i, n = 0, len(s)
+    DROP = ("fonttbl", "colortbl", "stylesheet", "info", "pict", "themedata")
+    while i < n:
+        c = s[i]
+        if c == "{":
+            depth += 1
+            # look ahead: {\* or {\destination -> drop the whole group
+            m = re.match(r"\{\\\*?\\?([a-z]+)", s[i:])
+            if skip_depth == 0 and (
+                s.startswith("{\\*", i) or (m and m.group(1) in DROP)
+            ):
+                skip_depth = depth
+            i += 1
+        elif c == "}":
+            if skip_depth and depth == skip_depth:
+                skip_depth = 0
+            depth -= 1
+            i += 1
+        elif c == "\\":
+            if i + 1 < n and s[i + 1] in "\\{}":
+                if not skip_depth:
+                    out.append(s[i + 1])
+                i += 2
+            elif s.startswith("\\'", i) and i + 3 < n:
+                if not skip_depth:
+                    out.append(bytes([int(s[i + 2 : i + 4], 16)]).decode("latin-1"))
+                i += 4
+            else:
+                m = re.match(r"\\([a-z]+)(-?\d+)? ?", s[i:])
+                if m:
+                    if not skip_depth and m.group(1) in ("par", "line"):
+                        out.append("\n")
+                    i += m.end()
+                else:
+                    i += 1  # lone control symbol
+        else:
+            if not skip_depth:
+                out.append(c)
+            i += 1
+    return "".join(out).strip()
 
 
 def decode_zip(content: bytes) -> str:

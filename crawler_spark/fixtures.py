@@ -54,12 +54,13 @@ HOSTS = {
     "czech_republic": "www.uoou.cz",
     "cyprus": "www.dataprotection.gov.cy",
     "latvia": "www.dvi.gov.lv",
+    "lithuania": "vdai.lrv.lt",
 }
 
 BASE_AUTHORITIES = (
     "austria", "ireland", "denmark", "finland", "italy", "italy_news",
     "romania", "croatia", "united_kingdom", "belgium", "edpb",
-    "czech_republic", "cyprus", "latvia",
+    "czech_republic", "cyprus", "latvia", "lithuania",
 )
 
 
@@ -155,7 +156,11 @@ def file_url(a: str, p: int, i: int, j: int) -> str:
 def uk_file_url(a: str, p: int, i: int) -> str:
     """UK item target: the binary document itself (pdf / docx notices),
     with an occasional non-gated .html hit the P6 gate must skip."""
-    ext = ".docx" if i % 5 == 0 else (".html" if i % 6 == 3 else ".pdf")
+    ext = (
+        ".docx"
+        if (i % 5 == 0 or i == 2)  # i==2 keeps one docx in tiny fixtures
+        else (".html" if i % 6 == 3 else ".pdf")
+    )
     return f"https://{host_for(a)}/media/{a}/{p}-{i}{ext}"
 
 
@@ -182,6 +187,53 @@ def cz_file_url(a: str, p: int, i: int, j: int) -> str:
 
 def lv_file_url(a: str, p: int, i: int) -> str:
     return f"https://{host_for(a)}/media/{a}/dec-{p}-{i}.pdf"
+
+
+def lt_file_url(a: str, p: int, i: int, j: int) -> str:
+    return f"https://{host_for(a)}/uploads/{a}/{p}-{i}-{j}.pdf"
+
+
+def lt_links(a: str, p: int, i: int) -> list[tuple[str, str]]:
+    """(title, url) links of lithuania's i-th paragraph: 1-2 pdf links;
+    every 3rd title has NO trailing date (year-header fallback)."""
+    out = []
+    for j in range(1, (i % 2) + 2):
+        d = _doc_date(a, p, i + j)
+        if (i + j) % 3 == 0:
+            title = f"Sprendimas Nr {p}-{i}-{j}"
+        else:
+            title = f"Sprendimas Nr {p}-{i}-{j} {d.isoformat()}"
+        out.append((title, lt_file_url(a, p, i, j)))
+    return out
+
+
+def _make_docx(text: str) -> bytes:
+    """A real minimal .docx: zip with [Content_Types].xml and
+    word/document.xml; newline-separated input becomes w:p paragraphs
+    (what docx2txt and extract.decode_docx both read)."""
+    import io
+    import zipfile
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    paras = "".join(
+        f"<w:p><w:r><w:t>{ln}</w:t></w:r></w:p>" for ln in text.split("\n")
+    )
+    doc = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{W}"><w:body>{paras}</w:body></w:document>'
+    )
+    types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/word/document.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.wordprocessingml.document.main+xml"/></Types>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", types)
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
 
 
 def _be_zip_bytes(a: str, p: int, i: int) -> bytes:
@@ -232,6 +284,26 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
         # one non-file link the .pdf|.zip gate must skip (belgium:604)
         links += f'<a href="https://{host_for(a)}/{a}/about.html">Over ons</a>'
         body = f'<div class="expanded">{links}</div>'
+        pager = ""
+        if k < n_pages:
+            pager = (
+                f'<ul class="Pages"><li class="next">'
+                f'<a href="{list_url(a, k + 1)}">Next</a></li></ul>'
+            )
+        return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
+    if b == "lithuania":
+        # rolling-year paragraph stream: a digit-only year <p>, then
+        # content <p>s holding 1-2 pdf links each; one non-pdf decoy link
+        ps = [f"<p>{2018 + k}</p>"]
+        for i in range(1, n_items + 1):
+            links = "".join(
+                f'<a href="{url}">{t}</a> ' for t, url in lt_links(a, k, i)
+            )
+            ps.append(f"<p>{links}</p>")
+        ps.append(
+            f'<p><a href="https://{host_for(a)}/{a}/apie">Apie VDAI</a></p>'
+        )
+        body = f'<div class="content text">{"".join(ps)}</div>'
         pager = ""
         if k < n_pages:
             pager = (
@@ -495,19 +567,20 @@ def generate(
             off += 1
             for i in range(1, n_items + 1):
                 if b == "united_kingdom":
-                    # item target IS the binary document (pdf/docx);
+                    # item target IS the binary document; .docx items are
+                    # REAL docx zips (decoded by the stdlib X4 path),
                     # .html targets are P6-gated and never stored
                     furl = uk_file_url(a, k, i)
                     if furl.endswith(".html"):
                         continue
                     payload = _para_text(a, k, i, doc_pad_lines)
-                    hdr = (
-                        X.FAKE_DOCX_HEADER
-                        if furl.endswith(".docx")
-                        else X.FAKE_PDF_HEADER
-                    )
-                    content = hdr + payload.encode()
-                    add(furl, content, payload if ground_truth else None, lang, off)
+                    if furl.endswith(".docx"):
+                        content = _make_docx(payload)
+                        gt = X.decode_docx(content)
+                    else:
+                        content = X.FAKE_PDF_HEADER + payload.encode()
+                        gt = payload
+                    add(furl, content, gt if ground_truth else None, lang, off)
                     off += 1
                     continue
                 if b == "latvia":
@@ -520,6 +593,18 @@ def generate(
                         payload if ground_truth else None, lang, off,
                     )
                     off += 1
+                    continue
+                if b == "lithuania":
+                    for j, (_t, furl) in enumerate(lt_links(a, k, i), start=1):
+                        payload = _para_text(a, k, i * 10 + j, doc_pad_lines)
+                        add(
+                            furl,
+                            X.FAKE_PDF_HEADER + payload.encode(),
+                            payload if ground_truth else None,
+                            lang,
+                            off,
+                        )
+                        off += 1
                     continue
                 if b == "belgium":
                     furl = be_file_url(a, k, i)

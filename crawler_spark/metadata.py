@@ -575,6 +575,70 @@ def keywords_topk(docs: DataFrame, n: int = 2, k: int = 5) -> DataFrame:
     )
 
 
+#: English stopwords (the NLTK list the reference loads at
+#: keywords_metadata_service/__init__.py:16 — standard public list).
+EN_STOPWORDS = (
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "your", "yours", "yourself", "yourselves", "he", "him", "his",
+    "himself", "she", "her", "hers", "herself", "it", "its", "itself",
+    "they", "them", "their", "theirs", "themselves", "what", "which",
+    "who", "whom", "this", "that", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had", "having",
+    "do", "does", "did", "doing", "a", "an", "the", "and", "but", "if",
+    "or", "because", "as", "until", "while", "of", "at", "by", "for",
+    "with", "about", "against", "between", "into", "through", "during",
+    "before", "after", "above", "below", "to", "from", "up", "down",
+    "in", "out", "on", "off", "over", "under", "again", "further",
+    "then", "once", "here", "there", "when", "where", "why", "how",
+    "all", "any", "both", "each", "few", "more", "most", "other",
+    "some", "such", "no", "nor", "not", "only", "own", "same", "so",
+    "than", "too", "very", "s", "t", "can", "will", "just", "don",
+    "should", "now",
+)
+
+
+def keywords_full(docs: DataFrame, k: int = 20) -> DataFrame:
+    """A4 with the reference's pipeline shape
+    (keywords_metadata_service/__init__.py:14-35): strip non-letters,
+    lowercase, drop English stopwords, then CountVectorizer
+    ``ngram_range=(1,3)`` frequencies, top-k per doc.  The lemmatize +
+    adverb-POS-filter leaves (nltk WordNet / pos_tag) are identity here
+    — non-deterministic across nltk versions and not SQL-expressible;
+    the dataflow (clean -> filter -> n-gram explode -> count -> rank) is
+    the part that matters at scale.  Ties break on the gram string.
+    Output: (doc_id, gram, n_occ, rnk).
+    """
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(regexp_replace(text, '[^a-zA-Z]', ' ')), ' +'), "
+            f"w -> w <> '' AND NOT array_contains(array({stop}), w))"
+        ).alias("tokens"),
+    )
+    parts = []
+    for n in (1, 2, 3):
+        parts.append(
+            toks.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)), "
+                        f"i -> concat_ws(' ', slice(tokens, i, {n})))"
+                    )
+                ).alias("gram"),
+            )
+        )
+    grams = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count("*").cast("bigint").alias("n_occ")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_occ"), F.asc("gram"))
+    return counts.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= k
+    )
+
+
 def timeline(docs: DataFrame) -> DataFrame:
     """A5: absolute dates found in text -> (doc_id, event_date:string)."""
     d = with_citation_text(docs)

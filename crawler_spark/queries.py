@@ -731,6 +731,41 @@ SELECT doc_id, gram, n_occ, rnk FROM (
 """
 
 
+def q_keywords_full(spark, sf_dir):
+    """A4 full pipeline shape: clean -> stopword filter -> (1,3)-gram
+    CountVectorizer frequencies -> top-20 per doc
+    (keywords_metadata_service/__init__.py:14-35)."""
+    return metadata.keywords_full(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_keywords_full() -> str:
+    stop = ", ".join(f"'{w}'" for w in metadata.EN_STOPWORDS)
+    gram_selects = []
+    for n in (1, 2, 3):
+        concat = " || ' ' || ".join(f"tokens[i+{d}]" for d in range(n))
+        gram_selects.append(
+            f"SELECT doc_id, unnest(list_transform("
+            f"generate_series(1, greatest(len(tokens) - {n - 1}, 0)), "
+            f"i -> {concat})) AS gram FROM t"
+        )
+    union = " UNION ALL ".join(gram_selects)
+    return f"""
+WITH t AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^a-zA-Z]', ' ', 'g')), ' +'),
+                w -> w <> '' AND NOT list_contains([{stop}], w)) AS tokens
+  FROM documents),
+g AS ({union}),
+c AS (SELECT doc_id, gram, cast(count(*) as bigint) AS n_occ FROM g GROUP BY 1, 2)
+SELECT doc_id, gram, n_occ, rnk FROM (
+  SELECT doc_id, gram, n_occ,
+    cast(row_number() OVER (PARTITION BY doc_id ORDER BY n_occ DESC, gram) as bigint) AS rnk
+  FROM c) WHERE rnk <= 20
+"""
+
+
+ORACLE_KEYWORDS_FULL = _oracle_keywords_full()
+
+
 def q_timeline(spark, sf_dir):
     return metadata.timeline(_t(spark, sf_dir, "documents"))
 
@@ -1266,6 +1301,7 @@ QUERIES = {
     "citations_full": q_citations_full,
     "citation_count": q_citation_count,
     "keywords_topk": q_keywords_topk,
+    "keywords_full": q_keywords_full,
     "timeline": q_timeline,
     "timeline_full": q_timeline_full,
     "monetary_penalties": q_monetary_penalties,
@@ -1312,6 +1348,7 @@ ORACLES = {
     "citations_full": ORACLE_CITATIONS_FULL,
     "citation_count": ORACLE_CITATION_COUNT,
     "keywords_topk": ORACLE_KEYWORDS,
+    "keywords_full": ORACLE_KEYWORDS_FULL,
     "timeline": ORACLE_TIMELINE,
     "timeline_full": ORACLE_TIMELINE_FULL,
     "monetary_penalties": ORACLE_PENALTIES,

@@ -176,3 +176,20 @@ def test_bloom_path_equals_exact_path(spark, tmp_path):
     assert b.url_bloom.current_snapshot_id() is not None
     assert b.bloom.current_snapshot_id() is not None
     assert a.url_bloom.current_snapshot_id() is None  # exact path built none
+
+
+def test_fetch_join_shuffle_fallback_equals_broadcast(spark, tmp_path):
+    """broadcast_rows_max=0 forces the fetch join off the broadcast hint
+    (the oversized-round degradation path); results must be identical."""
+    fix = fixture_dir("sf0.001")
+    a = _mk(spark, tmp_path / "bc", fix)
+    a.run(max_rounds=30)
+    b = _mk(spark, tmp_path / "sh", fix, broadcast_rows_max=0)
+    b.run(max_rounds=30)
+    da = sorted(
+        map(tuple, a.documents.read(spark).select("seq", "url", "doc_hash").collect())
+    )
+    db = sorted(
+        map(tuple, b.documents.read(spark).select("seq", "url", "doc_hash").collect())
+    )
+    assert da == db and len(da) > 0
