@@ -257,6 +257,48 @@ REGISTRY: dict[str, dict] = {
         "depth2_href_filter": r".",  # any href the selectors yield
         "politeness_delay_s": 0.0,
     },
+    "sweden": {
+        # search-hit list where the DATE is the last word of the item's
+        # summary body; items whose summary lacks 'Beslut' are skipped
+        # (ongoing cases), year-only dates pad to Jan 1; docpages carry
+        # depth-2 .pdf links; time.sleep(5) politeness
+        # (``pygdpr/models/dpa/sweden/__init__.py:84-160``).
+        "lang": "sv",
+        "listing_item_selector": "ul.imy-search__results-list li.imy-search__results-item",
+        "item_title_selector": "h2.imy-search-hit__heading",
+        "item_date_selector": "p.imy-search-hit__body",
+        "item_link_selector": "a",
+        "title_strip": True,
+        "summary_gate": "beslut",
+        "date_from_summary_tail": True,
+        "year_pad": True,
+        "date_format": "%Y-%m-%d",
+        "pagination": "next",
+        "pagination_selector": "ul.Pages li.next a",
+        "retention": "window",
+        "body_selector": "div.imy-body",
+        "body_strip": None,
+        "depth2_selector": "div.imy-body a",
+        "politeness_delay_s": 5.0,  # time.sleep(5), sweden:91
+    },
+    "poland": {
+        # decision cards with a float-right date div (pl locale via
+        # dateparser) and an id-selected docpage body
+        # (``pygdpr/models/dpa/poland/__init__.py:77-130``).
+        "lang": "pl",
+        "listing_item_selector": "div#decisions-container div.decision",
+        "item_title_selector": "a",
+        "item_date_selector": "div.float-sm-right",
+        "item_link_selector": "a",
+        "date_format": "locale %d %B %Y",
+        "pagination": "next",
+        "pagination_selector": "ul.Pages li.next a",
+        "retention": "window",
+        "body_selector": "div#article-content",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 5.0,  # time.sleep(5), poland:81
+    },
     "lithuania": {
         # rolling year context: digit-only <p>s set the current year;
         # document links are <a>s inside content <p>s (several per
@@ -344,7 +386,11 @@ HR_MONTHS = (
     "siječnja", "veljače", "ožujka", "travnja", "svibnja", "lipnja",
     "srpnja", "kolovoza", "rujna", "listopada", "studenoga", "prosinca",
 )
-LOCALE_MONTHS: dict[str, tuple[str, ...]] = {"hr": HR_MONTHS}
+PL_MONTHS = (
+    "stycznia", "lutego", "marca", "kwietnia", "maja", "czerwca",
+    "lipca", "sierpnia", "września", "października", "listopada", "grudnia",
+)
+LOCALE_MONTHS: dict[str, tuple[str, ...]] = {"hr": HR_MONTHS, "pl": PL_MONTHS}
 
 GDPR_DATE = date(2018, 5, 25)  # pygdpr/policies/gdpr_policy.py:3-5
 
@@ -542,13 +588,23 @@ def parse_listing(authority: str, page_url: str, html_text: str) -> dict:
                 continue
             if gate and not re.search(gate, href):
                 continue  # P6: wrong mimetype, skipped before any fetch
-            items.append(
-                (
-                    a.get_text().strip() if cfg.get("doc_is_file") else a.get_text(),
-                    d.get_text().strip(),
-                    canonicalize_one(href, page_url),
-                )
-            )
+            date_str = d.get_text().strip()
+            if cfg.get("date_from_summary_tail"):
+                # sweden (sweden/__init__.py:97-109): the summary body's
+                # last word is the date; summaries without the gate word
+                # are ongoing cases and skipped; bare years pad to Jan 1
+                summary = d.get_text()
+                sg = cfg.get("summary_gate")
+                if sg and sg not in summary.lower():
+                    continue
+                words = summary.split()
+                date_str = words[-1] if words else ""
+                if cfg.get("year_pad") and len(date_str) == 4:
+                    date_str = date_str + "-01-01"
+            title = a.get_text()
+            if cfg.get("doc_is_file") or cfg.get("title_strip"):
+                title = title.strip()
+            items.append((title, date_str, canonicalize_one(href, page_url)))
     next_pages: list[tuple[str, int | None]] = []
     kind = cfg["pagination"]
     if kind == "next":

@@ -37,7 +37,7 @@ from . import extract as X
 AS_OF = date(2024, 1, 15)  # frozen 'today' for the retention window (P1)
 # bump when fixture layout changes: fixture_dir() regenerates cached dirs
 # whose marker carries a different version
-FIXTURE_VERSION = "v2"
+FIXTURE_VERSION = "v3"
 CDN_HOST = "cdn.example.eu"
 HOSTS = {
     "austria": "www.dsb.gv.at",
@@ -55,12 +55,14 @@ HOSTS = {
     "cyprus": "www.dataprotection.gov.cy",
     "latvia": "www.dvi.gov.lv",
     "lithuania": "vdai.lrv.lt",
+    "sweden": "www.imy.se",
+    "poland": "uodo.gov.pl",
 }
 
 BASE_AUTHORITIES = (
     "austria", "ireland", "denmark", "finland", "italy", "italy_news",
     "romania", "croatia", "united_kingdom", "belgium", "edpb",
-    "czech_republic", "cyprus", "latvia", "lithuania",
+    "czech_republic", "cyprus", "latvia", "lithuania", "sweden", "poland",
 )
 
 
@@ -128,7 +130,13 @@ def _fmt(authority: str, d: date) -> str:
         return f"{day}{sfx} {d.strftime('%B %Y')}"
     if fmt.startswith("locale "):
         months = X.LOCALE_MONTHS[cfg["lang"]]
-        return f"{d.day}. {months[d.month - 1]} {d.year}."
+        # substitute the month name, then strftime the remaining fields
+        # ("%d. %B %Y." -> "26. listopada 2021.", "%d %B %Y" -> "14 marca 2021")
+        return d.strftime(
+            fmt[len("locale "):].replace("%B", months[d.month - 1]).replace(
+                "%d", str(d.day)
+            )
+        )
     return d.strftime(fmt)
 
 
@@ -398,6 +406,23 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
                 f'<li class="photos"><a href="{href}">{t}</a>'
                 f'<span class="date">{d}</span></li>'
             )
+        elif b == "sweden":
+            # date = last word of the summary; i%5==0 lacks 'Beslut'
+            # (ongoing, skipped); i%4==0 carries a bare year (padded)
+            dd = _doc_date(a, k, i)
+            tail = str(dd.year) if i % 4 == 0 else dd.isoformat()
+            lead = "Pågående ärende om" if i % 5 == 0 else "Beslut i ärende om"
+            rows.append(
+                f'<li class="imy-search__results-item">'
+                f'<h2 class="imy-search-hit__heading"> {t} </h2>'
+                f'<p class="imy-search-hit__body">{lead} tillsyn {tail}</p>'
+                f'<a href="{href}">Läs beslutet</a></li>'
+            )
+        elif b == "poland":
+            rows.append(
+                f'<div class="decision"><div class="float-sm-right">{d}</div>'
+                f'<a href="{href}">{t}</a></div>'
+            )
         else:  # italy / italy_news
             rows.append(
                 f'<div class="post"><h3><a href="{href}">{t}</a></h3>'
@@ -413,6 +438,8 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
         "edpb": '<div class="view-content">{r}</div>',
         "czech_republic": '<div class="item-list">{r}</div>',
         "cyprus": '<div class="content-block"><ul>{r}</ul></div>',
+        "sweden": '<ul class="imy-search__results-list">{r}</ul>',
+        "poland": '<div id="decisions-container">{r}</div>',
         "italy": '<div class="posts">{r}</div>',
         "italy_news": '<div class="posts">{r}</div>',
     }[b].format(r="".join(rows))
@@ -470,7 +497,12 @@ def _docpage_html(a: str, p: int, i: int, n_files: int, pad_lines: int = 0) -> s
         body = f'<article class="edpb-article" role="article">{inner}</article>'
         return _BOILER_HEAD.format(t=_title(a, p, i)) + body + _BOILER_FOOT
     sel = cfg["body_selector"]
-    tag_class = sel.split(".")[-1] if "." in sel else sel
+    if "#" in sel:
+        # id-selected body (poland's div#article-content, poland:116)
+        body_open = f'<div id="{sel.split("#")[-1]}">'
+    else:
+        tag_class = sel.split(".")[-1] if "." in sel else sel
+        body_open = f'<div class="{tag_class}">'
     if b == "czech_republic" and n_files:
         links = "".join(
             f'<p><a href="{cz_file_url(a, p, i, j)}">Příloha {j}</a></p>'
@@ -479,15 +511,15 @@ def _docpage_html(a: str, p: int, i: int, n_files: int, pad_lines: int = 0) -> s
         # plus a non-File.ashx link the href filter must skip
         # (czech_republic/__init__.py:195)
         links += f'<p><a href="https://{host_for(a)}/{a}/kontakt">Kontakt</a></p>'
-        body = f'<div class="{tag_class}">{paras}{links}</div>'
+        body = f"{body_open}{paras}{links}</div>"
     elif cfg["depth2_selector"] and n_files:
         links = "".join(
             f'<p><a href="{file_url(a, p, i, j)}">Liite {j} (PDF)</a></p>'
             for j in range(1, n_files + 1)
         )
-        body = f'<div class="{tag_class}">{paras}{links}</div>'
+        body = f"{body_open}{paras}{links}</div>"
     else:
-        body = f'<div class="{tag_class}">{paras}</div>'
+        body = f"{body_open}{paras}</div>"
     return _BOILER_HEAD.format(t=_title(a, p, i)) + body + _BOILER_FOOT
 
 
