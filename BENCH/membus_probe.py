@@ -25,6 +25,7 @@ from multiprocessing import Pool
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from crawler_spark import extract as X  # noqa: E402
 from crawler_spark.fixtures import _docpage_html  # noqa: E402
 from crawler_spark.htmlparse import parse_html  # noqa: E402
 
@@ -32,9 +33,19 @@ HTML = _docpage_html("austria", 1, 1, 0, 120)  # ~12 KB realistic page
 
 
 def work_parse(n: int) -> int:
+    """Round-2 inner loop: full mini-DOM build + get_text."""
     t = 0
     for _ in range(n):
         t += len(parse_html(HTML).get_text())
+    return t
+
+
+def work_stream(n: int) -> int:
+    """Round-3 inner loop: single-pass selector-directed scanner — the
+    path the engine's extract stage actually runs now."""
+    t = 0
+    for _ in range(n):
+        t += len(X.parse_docpage("austria", "https://x/a.html", HTML)["text"])
     return t
 
 
@@ -57,6 +68,7 @@ def main() -> None:
     for name, fn, n in (
         ("md5_cache_resident", work_md5, 20_000),
         ("html_parse_12kb", work_parse, 1_200),
+        ("html_stream_12kb", work_stream, 4_000),
     ):
         r8, r32 = bench(fn, n, 8), bench(fn, n, 32)
         out[name] = {

@@ -42,7 +42,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import types as T
 
-from .htmlparse import parse_html
+from .htmlparse import parse_html, stream_extract
 from .urls import canonicalize_one
 
 # ---------------------------------------------------------------------------
@@ -658,7 +658,48 @@ def parse_docpage(authority: str, page_url: str, html_text: str) -> dict:
     (edpb/__init__.py:293-307) takes precedence over the direct pdf
     link: when div.alert is present its target — an html page holding
     the real pdf link — becomes the (sole) depth-2 child.
+
+    This is the crawl's hot path (one call per document page), so it
+    runs on the single-pass streaming scanner (htmlparse.stream_extract)
+    instead of building a DOM; :func:`parse_docpage_dom` is the
+    tree-based twin the parity tests compare against.
     """
+    cfg = cfg_of(authority)
+    link_sels: list[str] = []
+    alert_idx = d2_idx = None
+    if cfg.get("alert_selector"):
+        alert_idx = len(link_sels)
+        link_sels.append(cfg["alert_selector"])
+    if cfg["depth2_selector"]:
+        d2_idx = len(link_sels)
+        link_sels.append(cfg["depth2_selector"])
+    text, hrefs = stream_extract(html_text, cfg["body_selector"], tuple(link_sels))
+    if text is None:
+        # body selector missed: the reference's get_text() fallback over
+        # the whole page (rare; austria annual-report fallback chain)
+        text = parse_html(html_text).get_text()
+    if cfg["body_strip"] == "strip":
+        text = text.strip()
+    elif cfg["body_strip"] == "lstrip":
+        text = text.lstrip()
+    if alert_idx is not None and hrefs[alert_idx] and hrefs[alert_idx][0]:
+        return {
+            "text": text,
+            "file_links": [canonicalize_one(hrefs[alert_idx][0], page_url)],
+        }
+    file_links: list[str] = []
+    if d2_idx is not None:
+        flt = cfg.get("depth2_href_filter", DEFAULT_DEPTH2_FILTER)
+        for href in hrefs[d2_idx]:
+            if href and re.search(flt, href):
+                file_links.append(canonicalize_one(href, page_url))
+    return {"text": text, "file_links": file_links}
+
+
+def parse_docpage_dom(authority: str, page_url: str, html_text: str) -> dict:
+    """Tree-based twin of :func:`parse_docpage` (mini-DOM select +
+    get_text) — kept as the semantic reference the streaming scanner is
+    byte-compared against in tests/test_htmlparse.py."""
     cfg = cfg_of(authority)
     root = parse_html(html_text)
     body = root.select_one(cfg["body_selector"])
@@ -692,10 +733,10 @@ def parse_redirect(authority: str, page_url: str, html_text: str) -> str | None:
     sel = cfg.get("redirect_selector")
     if not sel:
         return None
-    a = parse_html(html_text).select_one(sel)
-    if a is None or not a.get("href"):
+    _, hrefs = stream_extract(html_text, None, (sel,))
+    if not hrefs[0] or not hrefs[0][0]:
         return None
-    return canonicalize_one(a.get("href"), page_url)
+    return canonicalize_one(hrefs[0][0], page_url)
 
 
 def looks_like_html(content: bytes) -> bool:

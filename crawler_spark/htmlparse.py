@@ -17,6 +17,8 @@ preserved; the registry code only uses the shared subset.
 
 from __future__ import annotations
 
+import re
+from html import unescape as _unescape  # same entity tables HTMLParser uses
 from html.parser import HTMLParser
 
 try:  # pragma: no cover - exercised only where bs4 exists
@@ -165,3 +167,188 @@ def parse_html(html_text: str) -> Node:
     b.feed(html_text)
     b.close()
     return b.root
+
+
+# ---------------------------------------------------------------------------
+# Streaming selector-directed extraction (the crawl's hot path)
+# ---------------------------------------------------------------------------
+#
+# Building the full DOM above allocates one Node + attrs dict + children
+# list per tag and a Python string per text node.  At 32 cores that object
+# churn saturates the box's shared memory controller and caps N->4N
+# scaling at ~0.585 (BENCH/membus_probe.py, round 2).  Document pages —
+# the overwhelming majority of fetches — only ever need ONE container's
+# get_text() plus the hrefs under 1-2 link selectors, so this scanner
+# does a single regex pass over the raw string, maintains a stack of
+# (tag, selector-prefix) tuples, and materializes text only inside the
+# matched container.  Semantics mirror the DOM path exactly (same
+# html.unescape entity handling, same void/self-closing/pop-through end
+# tag rules); tests/test_htmlparse.py asserts byte-equality against the
+# DOM on every authority's fixture pages.
+
+#: a full start tag after '<': name + attrs honoring quoted '>' values
+_STARTTAG_RE = re.compile(r"([a-zA-Z][a-zA-Z0-9-]*)(?:[^>\"']|\"[^\"]*\"|'[^']*')*>")
+#: a full end tag after '</'
+_ENDTAG_RE = re.compile(r"([a-zA-Z][a-zA-Z0-9-]*)[^>]*>")
+_CDATA_TAGS = {"script", "style"}
+
+
+def _attr_value(s: str, lo: int, hi: int, name: str) -> str | None:
+    """Value of attribute ``name`` inside the tag text s[lo:hi], or None.
+
+    Only double/single-quoted values (the HTML the crawl sees); the DOM
+    path remains the fallback for anything exotic.
+    """
+    needle = name + "="
+    i = s.find(needle, lo, hi)
+    while i != -1:
+        if s[i - 1] in " \t\n\r\f":
+            q = s[i + len(needle)]
+            if q in "\"'":
+                j = s.find(q, i + len(needle) + 1, hi)
+                if j != -1:
+                    v = s[i + len(needle) + 1 : j]
+                    return _unescape(v) if "&" in v else v
+        i = s.find(needle, i + 1, hi)
+    return None
+
+
+def _part_matches(s, tag, tag_lo, tag_hi, part) -> bool:
+    ptag, pclass, pid = part
+    if ptag is not None and ptag != tag:
+        return False
+    if pclass is not None:
+        cv = _attr_value(s, tag_lo, tag_hi, "class")
+        if cv is None or pclass not in cv.split():
+            return False
+    if pid is not None and _attr_value(s, tag_lo, tag_hi, "id") != pid:
+        return False
+    return True
+
+
+def stream_extract(
+    html_text: str,
+    body_selector: str | None,
+    link_selectors: tuple[str, ...] = (),
+) -> tuple[str | None, list[list[str]]]:
+    """One pass over ``html_text``: (text of the first element matching
+    ``body_selector`` — bs4-style get_text() — or None if no match,
+    [hrefs of elements matching each link selector, document order]).
+
+    Descendant-combinator selector subset, identical to :meth:`Node.select`.
+    """
+    sels: list[list[tuple]] = []
+    if body_selector is not None:
+        sels.append([_parse_simple(p) for p in body_selector.split()])
+    n_links = len(link_selectors)
+    for ls in link_selectors:
+        sels.append([_parse_simple(p) for p in ls.split()])
+    zeros = (0,) * len(sels)
+    # stack of (tag, selector-prefix-counts) frames, one per open element
+    stack: list[tuple] = [("", zeros)]
+    hrefs: list[list[str]] = [[] for _ in range(n_links)]
+    body_parts: list[str] | None = None
+    body_done = False
+    capture_at = 0  # stack length the body container lives at (0 = off)
+    s = html_text
+    pos, n = 0, len(s)
+    find = s.find
+    start_match, end_match = _STARTTAG_RE.match, _ENDTAG_RE.match
+    while pos < n:
+        lt = find("<", pos)
+        if lt == -1:
+            lt = n
+        if lt > pos and capture_at:
+            chunk = s[pos:lt]
+            body_parts.append(_unescape(chunk) if "&" in chunk else chunk)
+        if lt + 1 >= n:
+            break
+        c = s[lt + 1]
+        if c == "/":  # end tag
+            m = end_match(s, lt + 2)
+            if m is None:
+                if capture_at:
+                    body_parts.append("<")
+                pos = lt + 1
+                continue
+            tag = m.group(1)
+            if not tag.islower():
+                tag = tag.lower()
+            pos = m.end()
+            # pop-through to the matching open tag (DOM handle_endtag)
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i][0] == tag:
+                    del stack[i:]
+                    break
+            if capture_at and len(stack) < capture_at:
+                capture_at, body_done = 0, True
+                if not n_links:
+                    return "".join(body_parts), hrefs
+            continue
+        if c == "!" or c == "?":
+            if s.startswith("!--", lt + 1):  # <!-- comment -->
+                end = find("-->", lt + 4)
+                pos = n if end == -1 else end + 3
+            else:  # <!doctype ...> / <? ... >
+                end = find(">", lt + 2)
+                pos = n if end == -1 else end + 1
+            continue
+        m = start_match(s, lt + 1)
+        if m is None:
+            # stray '<' treated as text, like HTMLParser's invalid markup
+            if capture_at:
+                body_parts.append("<")
+            pos = lt + 1
+            continue
+        tag = m.group(1)
+        if not tag.islower():
+            tag = tag.lower()
+        tag_lo = lt + 1 + len(tag)
+        tag_hi = m.end() - 1  # position of '>'
+        pos = m.end()
+        self_closing = s[tag_hi - 1] == "/"
+        parent = stack[-1][1]
+        if capture_at and not n_links:
+            # inside the body container with no link selectors pending:
+            # selector state cannot change anything — skip the match loop
+            counts = parent
+        else:
+            # advance selector prefixes against this element
+            counts = None
+            for si, parts in enumerate(sels):
+                c = parent[si]
+                if c < len(parts) and _part_matches(s, tag, tag_lo, tag_hi, parts[c]):
+                    c += 1
+                    if c == len(parts):
+                        if body_selector is not None and si == 0:
+                            if body_parts is None and capture_at == 0 and not body_done:
+                                body_parts = []
+                                capture_at = len(stack) + 1  # this element's frame
+                        else:
+                            href = _attr_value(s, tag_lo, tag_hi, "href")
+                            if href is not None:
+                                hrefs[si - (1 if body_selector is not None else 0)].append(href)
+                    if counts is None:
+                        counts = list(parent)
+                    counts[si] = c
+            # reuse the parent's tuple when no prefix advanced (the common
+            # case — one tuple per *selector-relevant* element, not per tag)
+            counts = parent if counts is None else tuple(counts)
+        if tag not in _VOID and not self_closing:
+            stack.append((tag, counts))
+            if tag in _CDATA_TAGS:
+                # raw text element: no tags/entities inside (HTMLParser
+                # cdata mode); capture raw if inside the body container
+                end = find("</" + tag, pos)
+                if end == -1:
+                    end = n
+                if capture_at:
+                    body_parts.append(s[pos:end])
+                pos = end
+        elif capture_at == len(stack) + 1:
+            # degenerate: body container is void/self-closing -> empty
+            capture_at, body_done = 0, True
+            if not n_links:
+                return "".join(body_parts), hrefs
+    text = "".join(body_parts) if body_parts is not None else None
+    return text, hrefs
