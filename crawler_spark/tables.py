@@ -22,15 +22,40 @@ fix that (SURVEY.md §3.1 note 5).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _CURRENT = "CURRENT"
+
+
+def _entry_path(e) -> str:
+    """Manifest part entry -> path (entries are {path, seq, rows} dicts;
+    plain-string entries from pre-sequence-number manifests still read)."""
+    return e["path"] if isinstance(e, dict) else e
+
+
+def _entry_seq(e) -> int:
+    return e.get("seq", 0) if isinstance(e, dict) else 0
+
+
+#: delete parts from pre-sequence-number manifests shadowed every add;
+#: give them +inf seq so that behavior is preserved on old state dirs
+_SEQ_INF = 1 << 60
+
+
+def _entry_seq_del(e) -> int:
+    return e.get("seq", _SEQ_INF) if isinstance(e, dict) else _SEQ_INF
+
+
+def _entry_rows(e) -> int | None:
+    return e.get("rows") if isinstance(e, dict) else None
 
 
 class SnapshotTable:
@@ -98,9 +123,27 @@ class SnapshotTable:
         df.select(*cols).write.mode("overwrite").parquet(os.path.join(self.root, part))
         return part
 
+    def _part_rows(self, part: str) -> int:
+        """Exact row count of a written part from the parquet footers —
+        driver-side metadata reads, no Spark job (the manifest statistic
+        Iceberg keeps natively)."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(self.root, part, "*.parquet"))
+        )
+
+    def _new_entry(self, part: str) -> dict:
+        return {
+            "path": part,
+            "seq": len(self.snapshots()),  # monotone per-commit sequence
+            "rows": self._part_rows(part),
+        }
+
     def append(self, df: DataFrame, note: str = "append") -> str:
         parts = list(self._current_parts())
-        parts.append(self._write_part(df))
+        parts.append(self._new_entry(self._write_part(df)))
         return self._commit(parts, note)
 
     def append_read(self, spark: SparkSession, df: DataFrame, note: str = "append"):
@@ -111,18 +154,18 @@ class SnapshotTable:
         recomputing the delta's whole upstream DAG."""
         parts = list(self._current_parts())
         new_part = self._write_part(df)
-        parts.append(new_part)
+        parts.append(self._new_entry(new_part))
         sid = self._commit(parts, note)
         return sid, spark.read.schema(self.schema).parquet(
             os.path.join(self.root, new_part)
         )
 
     def overwrite(self, df: DataFrame, note: str = "overwrite") -> str:
-        return self._commit([self._write_part(df)], note)
+        return self._commit([self._new_entry(self._write_part(df))], note)
 
     # -- reads ----------------------------------------------------------------
 
-    def _current_parts(self) -> list[str]:
+    def _current_parts(self) -> list:
         sid = self.current_snapshot_id()
         return self._read_manifest(sid)["parts"] if sid else []
 
@@ -132,7 +175,7 @@ class SnapshotTable:
         parts = self._read_manifest(sid)["parts"] if sid else []
         if not parts:
             return spark.createDataFrame([], self.schema)
-        paths = [os.path.join(self.root, p) for p in parts]
+        paths = [os.path.join(self.root, _entry_path(p)) for p in parts]
         return spark.read.schema(self.schema).parquet(*paths)
 
 
@@ -140,14 +183,27 @@ class MorTable(SnapshotTable):
     """Merge-on-read table: add parts + equality-delete (tombstone) parts,
     the shape of Iceberg v2 row-level deletes.
 
-    A row is visible iff no tombstone part carries its ``delete_keys``
-    tuple.  There are no sequence numbers: a deleted row may only be
-    re-added with a *different* key tuple (the crawl engine bumps
-    ``retry_count`` when re-pending a missed URL), which keeps read-time
-    reconciliation a single anti-join.  When tombstone parts pile up
-    past ``compact_after``, the commit folds them into one fresh base
-    part — an O(table) job every ``compact_after`` commits, so the
-    amortized write cost per commit stays O(delta).
+    Every part carries the **commit sequence number** it was written at
+    (Iceberg's data-sequence-number), and a row is visible iff no
+    tombstone from a LATER commit carries its ``delete_keys`` tuple.
+    That makes re-admission safe without key games: a URL fetched and
+    tombstoned in round k can be re-added verbatim in round k+n — the
+    stale tombstone no longer shadows it (round-2 ADVICE: a re-listed
+    URL with a new title would otherwise be silently deleted where the
+    reference fetches it again).
+
+    Compaction folds tombstones into one fresh base part when EITHER
+    trigger fires:
+
+    - part count ≥ ``compact_after`` (manifest growth backstop), or
+    - tombstoned row volume ≥ ``compact_rows_frac`` of base row volume
+      AND ≥ ``compact_min_rows`` (the row-count trigger from manifest
+      part statistics — 16 huge deltas compact as eagerly as 16 tiny
+      ones don't; the floor keeps toy tables from compacting every
+      commit, where folding buys nothing).
+
+    Row counts come from the parquet footers at write time and live in
+    the manifest, so the trigger costs zero Spark jobs.
 
     This is what replaces the per-round full frontier overwrite
     (VERDICT round 1, finding 4): a round commits only its own adds and
@@ -163,6 +219,8 @@ class MorTable(SnapshotTable):
         schema: T.StructType,
         delete_keys: list[str],
         compact_after: int = 16,
+        compact_rows_frac: float = 0.25,
+        compact_min_rows: int = 100_000,
     ):
         super().__init__(root, schema)
         self.delete_keys = list(delete_keys)
@@ -170,6 +228,8 @@ class MorTable(SnapshotTable):
             [f for f in schema.fields if f.name in self.delete_keys]
         )
         self.compact_after = compact_after
+        self.compact_rows_frac = compact_rows_frac
+        self.compact_min_rows = compact_min_rows
 
     def _manifest(self, snapshot_id: str | None = None) -> dict:
         sid = snapshot_id or self.current_snapshot_id()
@@ -180,19 +240,29 @@ class MorTable(SnapshotTable):
         return m
 
     def _read_from(
-        self, spark: SparkSession, parts: list[str], delete_parts: list[str]
+        self, spark: SparkSession, parts: list, delete_parts: list
     ) -> DataFrame:
         if not parts:
             return spark.createDataFrame([], self.schema)
-        df = spark.read.schema(self.schema).parquet(
-            *[os.path.join(self.root, p) for p in parts]
-        )
+        adds = None
+        for e in parts:
+            df = spark.read.schema(self.schema).parquet(
+                os.path.join(self.root, _entry_path(e))
+            ).withColumn("__seq", F.lit(_entry_seq(e)).cast("long"))
+            adds = df if adds is None else adds.unionByName(df)
         if delete_parts:
-            tomb = spark.read.schema(self.delete_schema).parquet(
-                *[os.path.join(self.root, p) for p in delete_parts]
-            )
-            df = df.join(tomb, on=self.delete_keys, how="left_anti")
-        return df
+            tomb = None
+            for e in delete_parts:
+                t = spark.read.schema(self.delete_schema).parquet(
+                    os.path.join(self.root, _entry_path(e))
+                ).withColumn("__tseq", F.lit(_entry_seq_del(e)).cast("long"))
+                tomb = t if tomb is None else tomb.unionByName(t)
+            r, t = adds.alias("r"), tomb.alias("t")
+            cond = F.col("t.__tseq") > F.col("r.__seq")
+            for k in self.delete_keys:
+                cond = cond & (F.col(f"r.{k}") == F.col(f"t.{k}"))
+            adds = r.join(t, cond, "left_anti")
+        return adds.drop("__seq")
 
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
         m = self._manifest(snapshot_id)
@@ -213,12 +283,22 @@ class MorTable(SnapshotTable):
         add_path = None
         if adds is not None:
             add_path = self._write_part(adds)
-            parts.append(add_path)
+            parts.append(self._new_entry(add_path))
         if deletes is not None:
-            dels.append(self._write_part(deletes, schema=self.delete_schema))
-        if len(dels) >= self.compact_after:
+            dels.append(
+                self._new_entry(self._write_part(deletes, schema=self.delete_schema))
+            )
+        base_rows = sum(_entry_rows(e) or 0 for e in parts)
+        tomb_rows = sum(_entry_rows(e) or 0 for e in dels)
+        row_trigger = (
+            tomb_rows >= self.compact_min_rows
+            and base_rows > 0
+            and tomb_rows >= self.compact_rows_frac * base_rows
+        )
+        if len(dels) >= self.compact_after or row_trigger:
             merged = self._read_from(spark, parts, dels)
-            parts, dels = [self._write_part(merged)], []
+            compact_path = self._write_part(merged)
+            parts, dels = [self._new_entry(compact_path)], []
             note += "+compact"
         self._commit(parts, note, delete_parts=dels)
         if add_path is None:
@@ -229,4 +309,4 @@ class MorTable(SnapshotTable):
 
     def base_parts(self) -> list[str]:
         """Current data part paths (introspection for O(round) tests)."""
-        return list(self._manifest()["parts"])
+        return [_entry_path(e) for e in self._manifest()["parts"]]

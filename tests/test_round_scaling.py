@@ -150,6 +150,35 @@ def test_retry_disabled_is_single_attempt(spark, tmp_path, flaky_fix):
     assert final[0]["state"] == "failed" and final[0]["retry_count"] == 0
 
 
+def test_quota_gate_enforced_per_round(spark, tmp_path):
+    """R3 wired into the engine (round-2 ADVICE: quota_gate existed but
+    was never called): a per-authority fetch quota caps every round's
+    fetches for that authority, deferred rows surface in later rounds,
+    and the final crawl state is unchanged."""
+    fix = fixture_dir("sf0.001")
+    plain = _mk(spark, tmp_path / "nq", fix)
+    plain.run(max_rounds=40)
+    quota = _mk(spark, tmp_path / "q", fix, quota_budgets={"austria": 2})
+    quota.run(max_rounds=40)
+
+    per_round = (
+        quota.fetch_log.read(spark)
+        .filter(F.col("url").contains("dsb.gv.at"))
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert per_round and all(r["n"] <= 2 for r in per_round)
+    # quota slowed austria down but the final state is identical
+    da = sorted(
+        map(tuple, plain.documents.read(spark).select("seq", "url", "doc_hash").collect())
+    )
+    db = sorted(
+        map(tuple, quota.documents.read(spark).select("seq", "url", "doc_hash").collect())
+    )
+    assert da == db and len(da) > 0
+
+
 def test_bloom_path_equals_exact_path(spark, tmp_path):
     """bloom_min_rows=0 forces the sharded-Bloom membership path; the
     final crawl state must be identical to the exact probe-join path,

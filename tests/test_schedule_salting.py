@@ -85,6 +85,53 @@ def test_scheduling_order_is_priority_then_seq(spark):
     assert len(got) == 3
 
 
+def test_preprune_window_input_is_o_budget_not_o_pending(spark):
+    """VERDICT round-2 next #6: pre-grow pending 100x per host; the rank
+    window's input (the pruned frame) must stay O(budget x margin x
+    partitions), not O(pending), and the schedule output must be
+    IDENTICAL with and without the prune."""
+    host, budget = "grown.example.eu", 12
+    pending = _pending(spark, host, 2_000).repartition(4)  # ~100x budget
+    budgets = _budgets(spark, host, budget)
+
+    salted = FR.salt_rows(pending, budgets, salt_rows_target=50_000)
+    pruned = FR.preprune(salted, margin=4)
+    n_pending, n_pruned = pending.count(), pruned.count()
+    # 4 partitions x 1 salt x budget(12) x margin(4) = <= 192 rows
+    assert n_pruned <= 4 * budget * 4, f"prune kept {n_pruned} rows"
+    assert n_pruned < n_pending / 10
+
+    plain = sorted(
+        (r["priority"], r["seq"])
+        for r in FR.schedule(pending, budgets, salt_rows_target=50_000).collect()
+    )
+    with_prune = sorted(
+        (r["priority"], r["seq"])
+        for r in FR.schedule(
+            pending, budgets, salt_rows_target=50_000, preprune_margin=4
+        ).collect()
+    )
+    assert plain == with_prune and len(plain) == budget
+
+
+def test_preprune_exact_superset_under_salting(spark):
+    """Hot host split over salts: pruned must still contain every row
+    the unpruned rank window selects (per-salt exactness)."""
+    pending = _pending(spark, "hot2.example.eu", 800).repartition(8)
+    budgets = _budgets(spark, "hot2.example.eu", 64)
+    plain = {
+        r["url_hash"]
+        for r in FR.schedule(pending, budgets, salt_rows_target=50).collect()
+    }
+    pruned_sched = {
+        r["url_hash"]
+        for r in FR.schedule(
+            pending, budgets, salt_rows_target=50, preprune_margin=2
+        ).collect()
+    }
+    assert plain == pruned_sched
+
+
 def test_quota_gate_defers_past_budget(spark):
     from crawler_spark.frontier import quota_gate
     from pyspark.sql import functions as F
