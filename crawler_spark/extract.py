@@ -359,6 +359,281 @@ REGISTRY: dict[str, dict] = {
         "depth2_selector": None,
         "politeness_delay_s": 0.0,
     },
+    "france": {
+        # CNIL deliberations: pager-load-more next-link pagination
+        # (``pygdpr/models/dpa/france/__init__.py:42-48``), view-content
+        # views-row items (:93-99), time.sleep(5) per item (:96).  The
+        # live reference reads document text from the Legifrance JSON
+        # API; the legacy deliberations flow its striprtf import exists
+        # for (:16 — the only .rtf path in the codebase) is modeled
+        # here: the item link IS an .rtf file decoded by X5.
+        "lang": "fr",
+        "listing_item_selector": "div.view-content div.views-row",
+        "item_title_selector": "a",
+        "item_date_selector": "span.date",
+        "item_link_selector": "a",
+        "date_format": "%d/%m/%Y",
+        "link_gate": r"\.rtf$",
+        "doc_is_file": True,
+        "pagination": "next",
+        "pagination_selector": "ul.pager-load-more li.pager-next a",
+        "retention": "window",
+        "body_selector": "div.article-body",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 5.0,  # time.sleep(5), france:96
+    },
+    "spain": {
+        # AEPD resoluciones (``pygdpr/models/dpa/spain/__init__.py:
+        # 109-205``): views-row items, title from div.views-field-title
+        # a (:115-120), the DATE from the <time> element's *datetime
+        # attribute* split at 'T' (:141-147), href gated to .pdf
+        # (:134-136), the pdf IS the document, year<2018 skipped
+        # (:151-155), time.sleep(5) (:117), pager__items pagination
+        # (:52-66).
+        "lang": "es",
+        "listing_item_selector": "div.view-content div.views-row",
+        "item_title_selector": "div.views-field-title a",
+        "item_date_selector": "time",
+        "item_date_attr": "datetime",
+        "date_split": ["T", 0],
+        "item_link_selector": "div.views-field-title a",
+        "date_format": "%Y-%m-%d",
+        "link_gate": r"\.pdf$",
+        "doc_is_file": True,
+        "pagination": "all",
+        "pagination_selector": "nav.pager ul.pager__items li.pager__item a",
+        "retention": "year2018",
+        "body_selector": "div.article-body",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 5.0,  # time.sleep(5), spain:117
+    },
+    "slovakia": {
+        # Opinions flow (``pygdpr/models/dpa/slovakia/__init__.py:
+        # 153-291``): node-file items under region-content, date = the
+        # <b> text before ' - ' parsed %d.%m.%Y (:160-166), title h2 a
+        # (:168-173), docpage holds div.filefield-file attachment links
+        # (docx -> X4 stdlib decode, else pdf, :223-276), pager-item
+        # pagination (:44-52).
+        "lang": "sk",
+        "listing_item_selector": "div.region-content div.content div.node-file",
+        "item_title_selector": "h2 a",
+        "item_date_selector": "b",
+        "date_split": [" - ", 0],
+        "item_link_selector": "h2 a",
+        "date_format": "%d.%m.%Y",
+        "pagination": "all",
+        "pagination_selector": "ul.pager li.pager-item a",
+        "retention": "window",
+        "body_selector": "div.content",
+        "body_strip": None,
+        "depth2_selector": "div.filefield-file a",
+        "depth2_href_filter": r".",
+        "politeness_delay_s": 0.0,
+    },
+    "greece": {
+        # prakseisArxis decision tables (``pygdpr/models/dpa/greece/
+        # __init__.py:81-160``): tbody tr rows, date from the <time>
+        # element text with the year in the last 4 chars gating <2018
+        # (:91-99), title/link = tr a (:101-113), docpage carries the
+        # pdf under span.file-link (:138-148), pagination via the
+        # second-to-last li of ul.pagination js-pager__items (:191-197).
+        "lang": "el",
+        "listing_item_selector": "tbody tr",
+        "item_title_selector": "a",
+        "item_date_selector": "time",
+        "item_link_selector": "a",
+        "date_format": "%d/%m/%Y",
+        "pagination": "next",
+        "pagination_selector": "ul.pagination li.next a",
+        "retention": "year2018",
+        "body_selector": "div.dpa-body",
+        "body_strip": None,
+        "depth2_selector": "span.file-link a",
+        "depth2_href_filter": r".",
+        "politeness_delay_s": 0.0,
+    },
+    "hungary": {
+        # NAIH phoca-download fileboxes (``pygdpr/models/dpa/hungary/
+        # __init__.py:101-162``): title + href from the nested
+        # pd-filenamebox/pd-filename/pd-float a (:103-108), date from
+        # div.pd-fl-m text via dateparser hu locale (:109-112 —
+        # year-first form, deterministic month table here), the href IS
+        # the pdf document (:126-148), sectiontablefooter next-link
+        # pagination (:48-54).
+        "lang": "hu",
+        "listing_item_selector": "div.pd-category div.pd-filebox",
+        "item_title_selector": "div.pd-filename div.pd-float a",
+        "item_date_selector": "div.pd-fl-m",
+        "item_link_selector": "div.pd-filename div.pd-float a",
+        "date_format": "locale_ymd %Y. %B %d.",
+        "doc_is_file": True,
+        "pagination": "next",
+        "pagination_selector": "div.sectiontablefooter li.pagination-next a",
+        "retention": "window",
+        "body_selector": "div.article-body",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 0.0,
+    },
+    "malta": {
+        # IDPC guidelines p-stream (``pygdpr/models/dpa/malta/
+        # __init__.py:96-183``): each <p> under the vce-text-block with
+        # an <a> is an item, the TITLE is the whole <p> text (:116),
+        # relative hrefs lose their first 4 chars before joining the
+        # host (:129-132), the target is the pdf document, and there is
+        # NO date at all (releaseDate 'Date not available', :176) — no
+        # retention filter.  Single page (no pagination loop).
+        "lang": "en",
+        "listing_mode": "p_links",
+        "p_title": True,
+        "listing_container_selector": "div.vce-text-block-wrapper",
+        "href_strip_prefix": 4,
+        "link_gate": r"\.pdf$",
+        "date_format": "%Y-%m-%d",
+        "doc_is_file": True,
+        "pagination": "none",
+        "pagination_selector": "",
+        "retention": "none",
+        "body_selector": "div.article-body",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 0.0,
+    },
+    "estonia": {
+        # AKI ettekirjutused (``pygdpr/models/dpa/estonia/__init__.py:
+        # 59-116``): sidebar menu links are the sub-listing pages
+        # (:62-67), items are <p><a> rows in the field-item block
+        # (:78-86), the DATE is parsed out of the title — the last word
+        # before 'nr', %d.%m.%Y (:88-99) — and the href is the document
+        # file fetched directly (:100-113).
+        "lang": "et",
+        "listing_mode": "p_links",
+        "p_title": False,
+        "listing_container_selector": "div.region-content-inner div.field-item",
+        "date_from_title_nr": True,
+        "date_format": "%d.%m.%Y",
+        "doc_is_file": True,
+        "pagination": "menu",
+        "pagination_selector": "div.region-sidebar-first-inner ul.menu li a",
+        "retention": "window",
+        "body_selector": "div.article-body",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 0.0,
+    },
+    "luxembourg": {
+        # CNPD decisions (``pygdpr/models/dpa/luxembourg/__init__.py:
+        # 85-196``): ol.search-results li items, date from
+        # time.article-published text %Y-%m-%d (:100-103), title
+        # h2.article-title a (:119-124), docpage aside.page-more holds
+        # the .pdf file links (:149-155), pagination-page list (:41-47).
+        "lang": "fr",
+        "listing_item_selector": "ol.search-results li",
+        "item_title_selector": "h2.article-title a",
+        "item_date_selector": "time.article-published",
+        "item_link_selector": "h2.article-title a",
+        "date_format": "%Y-%m-%d",
+        "pagination": "all",
+        "pagination_selector": "ol.pagination li.pagination-page a",
+        "retention": "window",
+        "body_selector": "div.article-text",
+        "body_strip": None,
+        "depth2_selector": "aside.page-more a",
+        "depth2_href_filter": r"\.pdf$",
+        "politeness_delay_s": 0.0,
+    },
+    "netherlands": {
+        # AP boetes list (``pygdpr/models/dpa/netherlands/__init__.py:
+        # 76-148``): plain <li> items under main-content-article, the
+        # DATE is the last 3 words of the li text via dateparser nl
+        # (:82-94 — deterministic month table here), title/link = li a
+        # (:96-100), docpage text = div.main-content-article get_text
+        # (:129-132), div.pager pagination (:36-40).
+        "lang": "nl",
+        "listing_item_selector": "div.main-content-article li",
+        "item_title_selector": "a",
+        "item_date_selector": "a",
+        "date_from_item_tail": 3,
+        "item_link_selector": "a",
+        "date_format": "locale %d %B %Y",
+        "pagination": "all",
+        "pagination_selector": "div.pager ul li.pager-item a",
+        "retention": "window",
+        "body_selector": "div.main-content-article",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 0.0,
+    },
+    "portugal": {
+        # CNPD decisões cards (``pygdpr/models/dpa/portugal/__init__.py:
+        # 92-150``): div.c-card items whose link wraps the title div
+        # (c-card-header-medium, :96-106), the date is the TITLE's last
+        # 4 chars (the year, :115-120) gating <2018, the href is the
+        # pdf document (:122-145), c-pagination pages (:43-45).
+        "lang": "pt",
+        "listing_item_selector": "div.layout div.c-card",
+        "item_title_selector": "a div.c-card-header-medium",
+        "item_date_selector": "a",
+        "date_from_title_tail": 4,
+        "item_link_selector": "a",
+        "date_format": "%Y",
+        "doc_is_file": True,
+        "pagination": "all",
+        "pagination_selector": "div.c-pagination a",
+        "retention": "year2018",
+        "body_selector": "div.article-body",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 0.0,
+    },
+    "bulgaria": {
+        # CPDP rubric pages (``pygdpr/models/dpa/bulgaria/__init__.py:
+        # 164-166``): every <a> under div.center-part whose href ends
+        # .pdf is a document, title = link text; the news variant's
+        # date extraction is commented out in the reference (:230-245)
+        # — no retention filter.
+        "lang": "bg",
+        "listing_mode": "a_stream",
+        "listing_container_selector": "div.center-part",
+        "link_gate": r"\.pdf$",
+        "date_format": "%d.%m.%Y",
+        "doc_is_file": True,
+        "pagination": "all",
+        "pagination_selector": "div.pages a",
+        "retention": "none",
+        "body_selector": "div.article-body",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 0.0,
+    },
+    "slovenia": {
+        # IP-RS mnenja search results (``pygdpr/models/dpa/slovenia/
+        # __init__.py:103-190``): table rows under advsea-results-list
+        # with the date in one td and the item link in another (the
+        # reference selects tds by their align attribute, :118-135;
+        # modeled as classed tds), advsea-next next-link (:46-56).  The
+        # TITLE only exists on the docpage (article.c9 header h1,
+        # :179-185) and the text is the whole article (:189), so X1
+        # keying and P3/P4 admission happen AFTER the fetch — the
+        # engine's post-fetch-keyed document path.
+        "lang": "sl",
+        "listing_item_selector": "div.advsea-results-list tr",
+        "item_title_selector": "td.advsea-link a",
+        "item_date_selector": "td.advsea-date",
+        "item_link_selector": "td.advsea-link a",
+        "title_at_docpage": True,
+        "docpage_title_selector": "article.c9 header h1",
+        "date_format": "%d.%m.%Y",
+        "pagination": "next",
+        "pagination_selector": "span.advsea-next a",
+        "retention": "window",
+        "body_selector": "article.c9",
+        "body_strip": None,
+        "depth2_selector": None,
+        "politeness_delay_s": 0.0,
+    },
     "czech_republic": {
         # File.ashx attachment links on the docpage
         # (``pygdpr/models/dpa/czech_republic/__init__.py:190-216``):
@@ -390,7 +665,17 @@ PL_MONTHS = (
     "stycznia", "lutego", "marca", "kwietnia", "maja", "czerwca",
     "lipca", "sierpnia", "września", "października", "listopada", "grudnia",
 )
-LOCALE_MONTHS: dict[str, tuple[str, ...]] = {"hr": HR_MONTHS, "pl": PL_MONTHS}
+NL_MONTHS = (
+    "januari", "februari", "maart", "april", "mei", "juni", "juli",
+    "augustus", "september", "oktober", "november", "december",
+)
+HU_MONTHS = (
+    "január", "február", "március", "április", "május", "június",
+    "július", "augusztus", "szeptember", "október", "november", "december",
+)
+LOCALE_MONTHS: dict[str, tuple[str, ...]] = {
+    "hr": HR_MONTHS, "pl": PL_MONTHS, "nl": NL_MONTHS, "hu": HU_MONTHS,
+}
 
 GDPR_DATE = date(2018, 5, 25)  # pygdpr/policies/gdpr_policy.py:3-5
 
@@ -407,6 +692,9 @@ def cfg_of(authority: str) -> dict:
 
 _ORDINAL_RE = re.compile(r"(\d+)(st|nd|rd|th)")
 _LOCALE_DATE_RE = re.compile(r"(\d{1,2})\.?\s+([^\s\d.]+)\s+(\d{4})")
+#: year-first locale form ("2021. január 5." — hungarian filebox dates,
+#: pygdpr/models/dpa/hungary/__init__.py:109-112 via dateparser hu)
+_LOCALE_DATE_YMD_RE = re.compile(r"(\d{4})\.?\s+([^\s\d.]+)\s+(\d{1,2})\.?")
 
 
 def parse_date_str(authority: str, s: str) -> date | None:
@@ -415,7 +703,10 @@ def parse_date_str(authority: str, s: str) -> date | None:
     'locale' formats replace ``dateparser.parse(..., languages=[lc])``
     calls — pygdpr/models/dpa/croatia/__init__.py:92,
     united_kingdom/__init__.py:108 — with a deterministic month-name
-    table for the authority's language)."""
+    table for the authority's language; cfg["date_split"] generalizes
+    the reference's pre-parse string slicing, e.g. spain's
+    datetime-attribute 'T' split (spain/__init__.py:145-147) and
+    slovakia's ' - ' prefix (slovakia/__init__.py:160-162))."""
     if s is None:
         return None
     s = s.strip()
@@ -423,6 +714,23 @@ def parse_date_str(authority: str, s: str) -> date | None:
     fmt = cfg["date_format"]
     if cfg.get("date_split_comma"):
         s = s.split(",")[0].strip()
+    split = cfg.get("date_split")
+    if split:
+        sep, idx = split
+        parts = s.split(sep)
+        s = parts[idx].strip() if idx < len(parts) else ""
+    if fmt.startswith("locale_ymd "):
+        months = LOCALE_MONTHS.get(cfg["lang"])
+        m = _LOCALE_DATE_YMD_RE.search(s)
+        if not m or months is None:
+            return None
+        name = m.group(2).lower()
+        if name not in months:
+            return None
+        try:
+            return date(int(m.group(1)), months.index(name) + 1, int(m.group(3)))
+        except ValueError:
+            return None
     if fmt.startswith("locale "):
         months = LOCALE_MONTHS.get(cfg["lang"])
         m = _LOCALE_DATE_RE.search(s)
@@ -451,10 +759,16 @@ def retained(authority: str, d: date | None, as_of: date) -> bool:
       (pygdpr/specifications/should_retain_document_specification.py:4-8)
     - 'year2018': ``int(year) < 2018 -> skip``
       (pygdpr/models/dpa/denmark/__init__.py:367)
+    - 'none': no date-based filtering — malta's guidelines flow stores
+      'Date not available' (malta/__init__.py:176) and bulgaria's date
+      extraction is commented out (bulgaria/__init__.py:230-245)
     """
+    kind = cfg_of(authority)["retention"]
+    if kind == "none":
+        return True
     if d is None:
         return False
-    if cfg_of(authority)["retention"] == "year2018":
+    if kind == "year2018":
         return d.year >= 2018
     delta = as_of - GDPR_DATE
     return (as_of - delta) <= d <= (as_of + delta)
@@ -551,6 +865,40 @@ def parse_listing(authority: str, page_url: str, html_text: str) -> dict:
                 else:
                     continue
                 items.append((title, date_str, canonicalize_one(href, page_url)))
+    elif mode == "p_links":
+        # malta's guidelines stream (malta/__init__.py:96-133: <p> with
+        # an <a>; the TITLE is the whole <p> text, relative hrefs lose
+        # their first `href_strip_prefix` chars) and estonia's
+        # ettekirjutused (estonia/__init__.py:78-99: title = <a> text,
+        # date = last word of the title before 'nr')
+        container = root.select_one(cfg["listing_container_selector"])
+        for p in (container.find_all("p") if container is not None else []):
+            a = p.find("a")
+            if a is None:
+                continue
+            href = a.get("href")
+            if not href:
+                continue
+            sp = cfg.get("href_strip_prefix")
+            if sp and not href.startswith("http"):
+                href = href[sp:]  # malta:129-132 '[4:]' quirk
+            if gate and not re.search(gate, href):
+                continue
+            title = p.get_text() if cfg.get("p_title") else a.get_text()
+            date_str = ""
+            if cfg.get("date_from_title_nr"):
+                head = title.split("nr")[0].split()
+                date_str = head[-1] if head else ""
+            items.append((title, date_str, canonicalize_one(href, page_url)))
+    elif mode == "a_stream":
+        # bulgaria (bulgaria/__init__.py:164-166): every pdf-gated <a>
+        # in the content container IS a document, title = link text
+        container = root.select_one(cfg["listing_container_selector"])
+        for a in (container.find_all("a") if container is not None else []):
+            href = a.get("href")
+            if not href or (gate and not re.search(gate, href)):
+                continue
+            items.append((a.get_text(), "", canonicalize_one(href, page_url)))
     elif mode == "accordion_table":
         # latvia (latvia/__init__.py:90-131): per year-accordion, skip
         # the table header row, read positional td cells; synthesize the
@@ -588,7 +936,13 @@ def parse_listing(authority: str, page_url: str, html_text: str) -> dict:
                 continue
             if gate and not re.search(gate, href):
                 continue  # P6: wrong mimetype, skipped before any fetch
-            date_str = d.get_text().strip()
+            date_attr = cfg.get("item_date_attr")
+            if date_attr:
+                # spain: the date lives in the <time> element's datetime
+                # attribute (spain/__init__.py:141-147)
+                date_str = (d.get(date_attr) or "").strip()
+            else:
+                date_str = d.get_text().strip()
             if cfg.get("date_from_summary_tail"):
                 # sweden (sweden/__init__.py:97-109): the summary body's
                 # last word is the date; summaries without the gate word
@@ -604,10 +958,30 @@ def parse_listing(authority: str, page_url: str, html_text: str) -> dict:
             title = a.get_text()
             if cfg.get("doc_is_file") or cfg.get("title_strip"):
                 title = title.strip()
+            if cfg.get("date_from_title_tail"):
+                # portugal: the year is the title's last 4 chars
+                # (portugal/__init__.py:115-120)
+                date_str = title[-cfg["date_from_title_tail"]:]
+            elif cfg.get("date_from_item_tail"):
+                # netherlands: the date is the last N words of the item
+                # text (netherlands/__init__.py:82-94)
+                words = el.get_text().split()
+                date_str = " ".join(words[-cfg["date_from_item_tail"]:])
             items.append((title, date_str, canonicalize_one(href, page_url)))
     next_pages: list[tuple[str, int | None]] = []
     kind = cfg["pagination"]
-    if kind == "next":
+    if kind == "none":
+        pass  # single-page flow (malta/__init__.py:96 — no pager loop)
+    elif kind == "menu":
+        # estonia (estonia/__init__.py:62-67): sidebar menu links are
+        # the sub-listing pages; identical menus repeat on every page,
+        # so page_no comes from menu position — duplicates then carry
+        # identical seq and URL-level dedupe is order-safe
+        for idx, a in enumerate(root.select(cfg["pagination_selector"])):
+            href = a.get("href")
+            if href:
+                next_pages.append((canonicalize_one(href, page_url), idx + 2))
+    elif kind == "next":
         nxt = root.select_one(cfg["pagination_selector"])
         if nxt is not None and nxt.get("href"):
             next_pages.append((canonicalize_one(nxt.get("href"), page_url), None))
@@ -665,6 +1039,11 @@ def parse_docpage(authority: str, page_url: str, html_text: str) -> dict:
     tree-based twin the parity tests compare against.
     """
     cfg = cfg_of(authority)
+    if cfg.get("docpage_title_selector"):
+        # post-fetch-keyed profile (slovenia): the DOM twin also
+        # extracts the title, so delegate — these docpages are rare
+        # relative to the streaming hot path
+        return parse_docpage_dom(authority, page_url, html_text)
     link_sels: list[str] = []
     alert_idx = d2_idx = None
     if cfg.get("alert_selector"):
@@ -708,6 +1087,15 @@ def parse_docpage_dom(authority: str, page_url: str, html_text: str) -> dict:
         text = text.strip()
     elif cfg["body_strip"] == "lstrip":
         text = text.lstrip()
+    tsel = cfg.get("docpage_title_selector")
+    if tsel:
+        # slovenia: the title lives on the docpage (slovenia:179-185)
+        t_el = root.select_one(tsel)
+        return {
+            "text": text,
+            "file_links": [],
+            "title": t_el.get_text() if t_el is not None else None,
+        }
     file_links: list[str] = []
     alert_sel = cfg.get("alert_selector")
     if alert_sel:
@@ -1012,6 +1400,11 @@ def make_fetch_extract(as_of: date, store_content: bool = True):
                     continue
                 html_bytes = bytes(r.html)
                 if int(r.depth) == 0:
+                    # post-fetch-keyed profiles (slovenia): the listing
+                    # has no usable title — children carry title=None
+                    # and are admitted by URL; X1 keying happens after
+                    # the docpage fetch (slovenia/__init__.py:179-189)
+                    tdp = bool(cfg_of(r.authority).get("title_at_docpage"))
                     parsed = parse_listing(
                         r.authority, r.url, html_bytes.decode("utf-8")
                     )
@@ -1039,7 +1432,7 @@ def make_fetch_extract(as_of: date, store_content: bool = True):
                                 "url": href,
                                 "depth": 1,
                                 "seq": seq_child_item(int(r.seq), i),
-                                "title": title,
+                                "title": None if tdp else title,
                                 "release_date": d,
                                 "status": "ok",
                             }
@@ -1102,7 +1495,11 @@ def make_fetch_extract(as_of: date, store_content: bool = True):
                                 "url": r.url,
                                 "depth": 1,
                                 "seq": int(r.seq),
-                                "title": r.title,
+                                # post-fetch-keyed profiles surface the
+                                # docpage-extracted title here; doc_hash
+                                # stays null and rounds.py keys + admits
+                                # these rows after the fetch
+                                "title": parsed.get("title", r.title),
                                 "release_date": r.release_date,
                                 "text": parsed["text"],
                                 "content": html_bytes if store_content else None,

@@ -37,7 +37,7 @@ from . import extract as X
 AS_OF = date(2024, 1, 15)  # frozen 'today' for the retention window (P1)
 # bump when fixture layout changes: fixture_dir() regenerates cached dirs
 # whose marker carries a different version
-FIXTURE_VERSION = "v3"
+FIXTURE_VERSION = "v5"
 CDN_HOST = "cdn.example.eu"
 HOSTS = {
     "austria": "www.dsb.gv.at",
@@ -57,12 +57,27 @@ HOSTS = {
     "lithuania": "vdai.lrv.lt",
     "sweden": "www.imy.se",
     "poland": "uodo.gov.pl",
+    "france": "www.cnil.fr",
+    "spain": "www.aepd.es",
+    "slovakia": "dataprotection.gov.sk",
+    "greece": "www.dpa.gr",
+    "hungary": "www.naih.hu",
+    "malta": "idpc.org.mt",
+    "estonia": "www.aki.ee",
+    "luxembourg": "cnpd.public.lu",
+    "netherlands": "autoriteitpersoonsgegevens.nl",
+    "portugal": "www.cnpd.pt",
+    "bulgaria": "www.cpdp.bg",
+    "slovenia": "www.ip-rs.si",
 }
 
 BASE_AUTHORITIES = (
     "austria", "ireland", "denmark", "finland", "italy", "italy_news",
     "romania", "croatia", "united_kingdom", "belgium", "edpb",
     "czech_republic", "cyprus", "latvia", "lithuania", "sweden", "poland",
+    "france", "spain", "slovakia", "greece", "hungary", "malta",
+    "estonia", "luxembourg", "netherlands", "portugal", "bulgaria",
+    "slovenia",
 )
 
 
@@ -128,14 +143,14 @@ def _fmt(authority: str, d: date) -> str:
         day = d.day
         sfx = "th" if 11 <= day % 100 <= 13 else {1: "st", 2: "nd", 3: "rd"}.get(day % 10, "th")
         return f"{day}{sfx} {d.strftime('%B %Y')}"
-    if fmt.startswith("locale "):
+    if fmt.startswith("locale"):
         months = X.LOCALE_MONTHS[cfg["lang"]]
         # substitute the month name, then strftime the remaining fields
-        # ("%d. %B %Y." -> "26. listopada 2021.", "%d %B %Y" -> "14 marca 2021")
+        # ("%d. %B %Y." -> "26. listopada 2021."; the locale_ymd
+        # year-first form covers hungary: "%Y. %B %d." -> "2021. január 5.")
+        pat = fmt.split(" ", 1)[1]
         return d.strftime(
-            fmt[len("locale "):].replace("%B", months[d.month - 1]).replace(
-                "%d", str(d.day)
-            )
+            pat.replace("%B", months[d.month - 1]).replace("%d", str(d.day))
         )
     return d.strftime(fmt)
 
@@ -145,6 +160,14 @@ def _title(authority: str, p: int, i: int) -> str:
     # same-date-skip rules (pygdpr/models/dpa/denmark/__init__.py:135-140)
     if authority.startswith("denmark") and i >= 3:
         return f"Afgørelse om klage nr {i % 3}"
+    b = base_auth(authority)
+    if b == "estonia":
+        # the DATE lives in the title before 'nr' (estonia:88-99)
+        d = _doc_date(authority, p, i)
+        return f"Ettekirjutus {d.strftime('%d.%m.%Y')} nr {p}-{i}"
+    if b == "portugal":
+        # the title's last 4 chars are the year (portugal:115-120)
+        return f"Deliberacao {p}-{i} {_doc_date(authority, p, i).year}"
     return f"{authority.title()} decision {p}-{i}"
 
 
@@ -215,6 +238,69 @@ def lt_links(a: str, p: int, i: int) -> list[tuple[str, str]]:
     return out
 
 
+def fr_file_url(a: str, p: int, i: int) -> str:
+    """france: the item target IS the .rtf deliberation (X5 e2e path)."""
+    return f"https://{host_for(a)}/files/deliberation-{p}-{i}.rtf"
+
+
+def es_file_url(a: str, p: int, i: int) -> str:
+    """spain: pdf item target; every 6th is a non-gated .html decoy."""
+    ext = ".html" if i % 6 == 3 else ".pdf"
+    return f"https://{host_for(a)}/docs/res-{p}-{i}{ext}"
+
+
+def sk_file_url(a: str, p: int, i: int, j: int) -> str:
+    ext = ".docx" if (i + j) % 3 == 0 else ".pdf"
+    return f"https://{host_for(a)}/files/sk-{p}-{i}-{j}{ext}"
+
+
+def gr_file_url(a: str, p: int, i: int) -> str:
+    return f"https://{host_for(a)}/files/apofasi-{p}-{i}.pdf"
+
+
+def hu_file_url(a: str, p: int, i: int) -> str:
+    """hungary: extensionless phoca-download href fetched as pdf bytes
+    (hungary/__init__.py:126-148)."""
+    return f"https://{host_for(a)}/dokumentumok/hat-{p}-{i}"
+
+
+def mt_file_href(a: str, p: int, i: int) -> str:
+    """malta: relative href whose first 4 chars ('/en/') are stripped
+    before joining the host (malta/__init__.py:129-132)."""
+    return f"/en//files/guideline-{p}-{i}.pdf"
+
+
+def mt_file_url(a: str, p: int, i: int) -> str:
+    return f"https://{host_for(a)}" + mt_file_href(a, p, i)[4:]
+
+
+def ee_file_url(a: str, p: int, i: int) -> str:
+    return f"https://{host_for(a)}/files/ettekirjutus-{p}-{i}.pdf"
+
+
+def lu_file_url(a: str, p: int, i: int, j: int) -> str:
+    return f"https://{host_for(a)}/files/decision-{p}-{i}-{j}.pdf"
+
+
+def pt_file_url(a: str, p: int, i: int) -> str:
+    return f"https://{host_for(a)}/docs/del-{p}-{i}.pdf"
+
+
+def bg_file_url(a: str, p: int, i: int) -> str:
+    ext = ".html" if i % 5 == 2 else ".pdf"  # decoy exercises the gate
+    return f"https://{host_for(a)}/files/resh-{p}-{i}{ext}"
+
+
+def _make_rtf(text: str) -> bytes:
+    """A real minimal RTF document: font-table destination group (must
+    be dropped by the X5 parser), body lines separated by \\par."""
+    body = "\\par ".join(text.split("\n"))
+    return (
+        "{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Times New Roman;}}"
+        "{\\*\\generator fixture;}" + body + "}"
+    ).encode("latin-1", errors="replace")
+
+
 def _make_docx(text: str) -> bytes:
     """A real minimal .docx: zip with [Content_Types].xml and
     word/document.xml; newline-separated input becomes w:p paragraphs
@@ -260,6 +346,85 @@ def _be_zip_bytes(a: str, p: int, i: int) -> bytes:
     return buf.getvalue()
 
 
+#: per-authority "all pages" pager markup: (wrapper, per-page link)
+_ALL_PAGERS = {
+    "ireland": ('<nav class="pager"><ul class="Pages">{links}</ul></nav>',
+                '<li class="page-item"><a href="{href}">{j}</a></li>'),
+    "spain": ('<nav class="pager"><ul class="pager__items">{links}</ul></nav>',
+              '<li class="pager__item"><a href="{href}">{j}</a></li>'),
+    "slovakia": ('<ul class="pager">{links}</ul>',
+                 '<li class="pager-item"><a href="{href}">{j}</a></li>'),
+    "luxembourg": ('<ol class="pagination">{links}</ol>',
+                   '<li class="pagination-page"><a href="{href}">{j}</a></li>'),
+    "netherlands": ('<div class="pager"><ul>{links}</ul></div>',
+                    '<li class="pager-item"><a href="{href}">{j}</a></li>'),
+    "portugal": ('<div class="c-pagination">{links}</div>',
+                 '<a href="{href}">{j}</a>'),
+    "bulgaria": ('<div class="pages">{links}</div>',
+                 '<a href="{href}">{j}</a>'),
+}
+
+#: per-authority next-link pager markup (default = the shared ul.Pages)
+_NEXT_PAGERS = {
+    "france": ('<ul class="pager-load-more"><li class="pager-next">'
+               '<a href="{href}">Load more</a></li></ul>'),
+    "slovenia": ('<span class="advsea-next"><a href="{href}">Naprej</a></span>'),
+    "hungary": ('<div class="sectiontablefooter"><ul><li class="pagination-next">'
+                '<a class="hasTooltip pagenav" href="{href}">Next</a></li></ul></div>'),
+    "greece": ('<ul class="pagination js-pager__items"><li><a href="#">1</a></li>'
+               '<li class="next"><a href="{href}">&raquo;</a></li>'
+               '<li><span>last</span></li></ul>'),
+}
+_DEFAULT_NEXT = (
+    '<ul class="Pages"><li class="next"><a href="{href}">Next</a></li></ul>'
+)
+
+
+def _pager_html(a: str, k: int, n_pages: int) -> str:
+    """Pager markup matching the authority's registry pagination kind."""
+    cfg = X.cfg_of(a)
+    b = base_auth(a)
+    kind = cfg["pagination"]
+    if kind == "next":
+        if k >= n_pages:
+            return ""
+        tpl = _NEXT_PAGERS.get(b, _DEFAULT_NEXT)
+        return tpl.format(href=list_url(a, k + 1))
+    if kind == "all":
+        wrapper, link = _ALL_PAGERS[b]
+        links = "".join(
+            link.format(href=list_url(a, j), j=j)
+            for j in range(1, n_pages + 1)
+            if j != k
+        )
+        return wrapper.format(links=links)
+    if kind == "menu":
+        # estonia: identical sidebar menu on every page (estonia:62-67)
+        lis = "".join(
+            f'<li><a href="{list_url(a, j)}">Menetlusotsused {j}</a></li>'
+            for j in range(2, n_pages + 1)
+        )
+        return (
+            f'<div class="region-sidebar-first-inner"><ul class="menu">{lis}'
+            f"</ul></div>"
+        )
+    if kind == "computed":
+        mid = "".join(
+            f'<li class="page-item"><span>{j}</span></li>'
+            for j in range(2, n_pages)
+        )
+        last = (
+            f'<li class="page-item"><a href="{list_url(a, n_pages)}">{n_pages}</a></li>'
+            if n_pages > 1
+            else ""
+        )
+        return (
+            f'<ul class="pagination"><li class="page-item">'
+            f'<a href="{list_url(a, 1)}">1</a></li>{mid}{last}</ul>'
+        )
+    return ""  # kind == "none": single-page flow
+
+
 def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
     cfg = X.cfg_of(a)
     b = base_auth(a)
@@ -277,12 +442,43 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
                 ps.append("<p>Detalii suplimentare</p>")
             ps.append(f'<p><a href="{href}">Descarca</a></p>')
         body = f'<div id="rectangle_scroll">{"".join(ps)}</div>'
-        pager = ""
-        if k < n_pages:
-            pager = (
-                f'<ul class="Pages"><li class="next">'
-                f'<a href="{list_url(a, k + 1)}">Next</a></li></ul>'
+        pager = _pager_html(a, k, n_pages)
+        return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
+    if b == "malta":
+        # p-stream with the title on the <p> and a relative href whose
+        # first 4 chars are stripped (malta/__init__.py:96-133); one
+        # link-less <p> and one non-pdf link exercise the skips
+        ps = ["<p>Guidance notes issued by the Commissioner.</p>"]
+        for i in range(1, n_items + 1):
+            ps.append(
+                f"<p>Guidance note {k}-{i} on processing "
+                f'<a href="{mt_file_href(a, k, i)}">Download</a></p>'
             )
+        ps.append(f'<p>See also <a href="/en//about/idpc.html">About us</a></p>')
+        body = f'<div class="vce-text-block-wrapper">{"".join(ps)}</div>'
+        return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + _BOILER_FOOT
+    if b == "estonia":
+        # <p><a> rows, date embedded in the title before 'nr'
+        # (estonia/__init__.py:78-99); menu links are the pagination
+        ps = []
+        for i in range(1, n_items + 1):
+            ps.append(f'<p><a href="{ee_file_url(a, k, i)}">{_title(a, k, i)}</a></p>')
+        ps.append("<p>Vaata ka teisi otsuseid.</p>")
+        body = (
+            f'<div class="region-content-inner"><div class="block-system">'
+            f'<div class="field-item even">{"".join(ps)}</div></div></div>'
+        )
+        pager = _pager_html(a, k, n_pages)
+        return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
+    if b == "bulgaria":
+        # flat <a> stream gated to .pdf (bulgaria/__init__.py:164-166)
+        links = "".join(
+            f'<a href="{bg_file_url(a, k, i)}">{_title(a, k, i)}</a> '
+            for i in range(1, n_items + 1)
+        )
+        links += f'<a href="https://{host_for(a)}/index.php?p=news">Новини</a>'
+        body = f'<div class="center-part">{links}</div>'
+        pager = _pager_html(a, k, n_pages)
         return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
     if b == "belgium":
         links = "".join(
@@ -292,12 +488,7 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
         # one non-file link the .pdf|.zip gate must skip (belgium:604)
         links += f'<a href="https://{host_for(a)}/{a}/about.html">Over ons</a>'
         body = f'<div class="expanded">{links}</div>'
-        pager = ""
-        if k < n_pages:
-            pager = (
-                f'<ul class="Pages"><li class="next">'
-                f'<a href="{list_url(a, k + 1)}">Next</a></li></ul>'
-            )
+        pager = _pager_html(a, k, n_pages)
         return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
     if b == "lithuania":
         # rolling-year paragraph stream: a digit-only year <p>, then
@@ -312,12 +503,7 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
             f'<p><a href="https://{host_for(a)}/{a}/apie">Apie VDAI</a></p>'
         )
         body = f'<div class="content text">{"".join(ps)}</div>'
-        pager = ""
-        if k < n_pages:
-            pager = (
-                f'<ul class="Pages"><li class="next">'
-                f'<a href="{list_url(a, k + 1)}">Next</a></li></ul>'
-            )
+        pager = _pager_html(a, k, n_pages)
         return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
     if b == "latvia":
         # year accordions -> header row + positional td rows; every 6th
@@ -348,12 +534,7 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
             f'<div class="block-ministry-content"><div class="node">'
             f'<div class="content">{"".join(accs)}</div></div></div>'
         )
-        pager = ""
-        if k < n_pages:
-            pager = (
-                f'<ul class="Pages"><li class="next">'
-                f'<a href="{list_url(a, k + 1)}">Next</a></li></ul>'
-            )
+        pager = _pager_html(a, k, n_pages)
         return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
     for i in range(1, n_items + 1):
         t, d, href = _title(a, k, i), _fmt(a, _doc_date(a, k, i)), doc_url(a, k, i)
@@ -423,6 +604,57 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
                 f'<div class="decision"><div class="float-sm-right">{d}</div>'
                 f'<a href="{href}">{t}</a></div>'
             )
+        elif b == "france":
+            rows.append(
+                f'<div class="views-row"><a href="{fr_file_url(a, k, i)}">{t}</a>'
+                f'<span class="date">{d}</span></div>'
+            )
+        elif b == "spain":
+            iso = _doc_date(a, k, i).isoformat()
+            rows.append(
+                f'<div class="views-row"><div class="views-field-title">'
+                f'<a href="{es_file_url(a, k, i)}">{t}</a></div>'
+                f'<div class="views-field-field-advertise-on">'
+                f'<time datetime="{iso}T10:00:00Z">Publicado</time></div></div>'
+            )
+        elif b == "slovakia":
+            rows.append(
+                f'<div class="node-file"><b>{d} - Usmernenie</b>'
+                f'<h2><a href="{href}">{t}</a></h2></div>'
+            )
+        elif b == "greece":
+            rows.append(
+                f'<tr><td><time datetime="00Z">{d}</time></td>'
+                f'<td><a href="{href}">{t}</a></td></tr>'
+            )
+        elif b == "hungary":
+            rows.append(
+                f'<div class="pd-filebox"><div class="pd-filenamebox">'
+                f'<div class="pd-filename"><div class="pd-float">'
+                f'<a href="{hu_file_url(a, k, i)}">{t}</a></div></div></div>'
+                f'<div class="pd-fl-m">Létrehozva: {d}</div></div>'
+            )
+        elif b == "luxembourg":
+            rows.append(
+                f'<li><time class="article-published">{d}</time>'
+                f'<h2 class="article-title"><a href="{href}">{t}</a></h2></li>'
+            )
+        elif b == "netherlands":
+            rows.append(
+                f'<li><a href="{href}">{t}</a> gepubliceerd {d}</li>'
+            )
+        elif b == "portugal":
+            rows.append(
+                f'<div class="c-card"><a href="{pt_file_url(a, k, i)}">'
+                f'<div class="c-card-header-medium">{t}</div></a></div>'
+            )
+        elif b == "slovenia":
+            # the listing link text is NOT the title (title lives on the
+            # docpage — slovenia/__init__.py:179-185)
+            rows.append(
+                f'<tr><td class="advsea-date">{d}</td>'
+                f'<td class="advsea-link"><a href="{href}">Mnenje</a></td></tr>'
+            )
         else:  # italy / italy_news
             rows.append(
                 f'<div class="post"><h3><a href="{href}">{t}</a></h3>'
@@ -442,35 +674,25 @@ def _listing_html(a: str, k: int, n_pages: int, n_items: int) -> str:
         "poland": '<div id="decisions-container">{r}</div>',
         "italy": '<div class="posts">{r}</div>',
         "italy_news": '<div class="posts">{r}</div>',
+        "france": '<div class="view-content">{r}</div>',
+        "spain": '<div class="view-content">{r}</div>',
+        "slovakia": '<div class="region-content"><div class="content">{r}</div></div>',
+        "greece": '<table><tbody><tr><th>Ημερομηνία</th><th>Τίτλος</th></tr>{r}</tbody></table>',
+        "hungary": '<div class="pd-category">{r}</div>',
+        "luxembourg": '<ol class="search-results">{r}</ol>',
+        "netherlands": '<div class="main-content-article"><ul>{r}</ul></div>',
+        "portugal": '<div class="layout">{r}</div>',
+        "slovenia": (
+            '<div class="page pr"><article class="c9">'
+            '<div class="advsea-results-list"><table>'
+            "<tr><th>Datum</th><th>Povezava</th></tr>{r}</table></div>"
+            "</article></div>"
+        ),
     }[b].format(r="".join(rows))
-    pager = ""
-    if cfg["pagination"] == "next" and k < n_pages:
-        pager = f'<ul class="Pages"><li class="next"><a href="{list_url(a, k + 1)}">Next</a></li></ul>'
-    elif cfg["pagination"] == "all":
-        links = "".join(
-            f'<li class="page-item"><a href="{list_url(a, j)}">{j}</a></li>'
-            for j in range(1, n_pages + 1)
-            if j != k
-        )
-        pager = f'<nav class="pager"><ul class="Pages">{links}</ul></nav>'
-    elif cfg["pagination"] == "computed":
-        # TRUNCATED pager: only page 1 and the last page carry links;
-        # the middle pages are unlinked spans — the engine must read the
-        # last page number and synthesize the URLs (F3,
-        # italy/__init__.py:46-55), it cannot collect hrefs
-        mid = "".join(
-            f'<li class="page-item"><span>{j}</span></li>'
-            for j in range(2, n_pages)
-        )
-        last = (
-            f'<li class="page-item"><a href="{list_url(a, n_pages)}">{n_pages}</a></li>'
-            if n_pages > 1
-            else ""
-        )
-        pager = (
-            f'<ul class="pagination"><li class="page-item">'
-            f'<a href="{list_url(a, 1)}">1</a></li>{mid}{last}</ul>'
-        )
+    # the computed pager is TRUNCATED: only page 1 and the last page
+    # carry links — the engine must read the last page number and
+    # synthesize the URLs (F3, italy/__init__.py:46-55)
+    pager = _pager_html(a, k, n_pages)
     return _BOILER_HEAD.format(t=f"{a} listing {k}") + body + pager + _BOILER_FOOT
 
 
@@ -495,6 +717,50 @@ def _docpage_html(a: str, p: int, i: int, n_files: int, pad_lines: int = 0) -> s
                 f'<a href="{edpb_pdf_url(a, p, i)}">Download PDF</a></div>'
             )
         body = f'<article class="edpb-article" role="article">{inner}</article>'
+        return _BOILER_HEAD.format(t=_title(a, p, i)) + body + _BOILER_FOOT
+    if b == "slovakia":
+        # docpage holds filefield-file attachment links (docx + pdf,
+        # slovakia/__init__.py:223-276)
+        links = "".join(
+            f'<div class="filefield-file"><a href="{sk_file_url(a, p, i, j)}">'
+            f"Príloha {j}</a></div>"
+            for j in range(1, n_files + 1)
+        )
+        body = (
+            f'<div class="region-content"><div class="content clearfix">'
+            f"{paras}{links}</div></div>"
+        )
+        return _BOILER_HEAD.format(t=_title(a, p, i)) + body + _BOILER_FOOT
+    if b == "greece":
+        # span.file-link carries the decision pdf (greece/__init__.py:138-148)
+        body = (
+            f'<div class="dpa-body">{paras}</div>'
+            f'<span class="file-link"><a href="{gr_file_url(a, p, i)}">PDF</a></span>'
+        )
+        return _BOILER_HEAD.format(t=_title(a, p, i)) + body + _BOILER_FOOT
+    if b == "slovenia":
+        # the docpage carries the TITLE (header h1) and the text is the
+        # whole article (slovenia/__init__.py:179-189)
+        body = (
+            f'<article class="c9"><header><h1>{_title(a, p, i)}</h1></header>'
+            f"{paras}</article>"
+        )
+        return _BOILER_HEAD.format(t=_title(a, p, i)) + body + _BOILER_FOOT
+    if b == "luxembourg":
+        # aside.page-more holds pdf links; non-pdf links are filtered
+        # (luxembourg/__init__.py:149-155); items without an aside keep
+        # the docpage text as the document
+        aside = ""
+        if n_files:
+            links = "".join(
+                f'<a href="{lu_file_url(a, p, i, j)}">Décision (PDF) {j}</a>'
+                for j in range(1, n_files + 1)
+            )
+            aside = (
+                f'<aside class="page-more">{links}'
+                f'<a href="https://{host_for(a)}/contact.html">Contact</a></aside>'
+            )
+        body = f'<div class="article-text">{paras}</div>{aside}'
         return _BOILER_HEAD.format(t=_title(a, p, i)) + body + _BOILER_FOOT
     sel = cfg["body_selector"]
     if "#" in sel:
@@ -673,6 +939,80 @@ def generate(
                         off,
                     )
                     off += 1
+                    continue
+                if b in ("france", "spain", "hungary", "malta", "estonia",
+                         "portugal", "bulgaria"):
+                    # the listing href IS the document file; .html decoys
+                    # are P6-gated and never stored
+                    furl = {
+                        "france": fr_file_url, "spain": es_file_url,
+                        "hungary": hu_file_url, "malta": mt_file_url,
+                        "estonia": ee_file_url, "portugal": pt_file_url,
+                        "bulgaria": bg_file_url,
+                    }[b](a, k, i)
+                    if furl.endswith(".html"):
+                        continue
+                    payload = _para_text(a, k, i, doc_pad_lines)
+                    if b == "france":
+                        content = _make_rtf(payload)
+                        gt = X.decode_rtf(content)
+                    else:
+                        content = X.FAKE_PDF_HEADER + payload.encode()
+                        gt = payload
+                    add(furl, content, gt if ground_truth else None, lang, off)
+                    off += 1
+                    continue
+                if b == "slovakia":
+                    nf = (i % 2) + 1
+                    add(
+                        doc_url(a, k, i),
+                        _docpage_html(a, k, i, nf, doc_pad_lines).encode(),
+                        None, lang, off,
+                    )
+                    off += 1
+                    for j in range(1, nf + 1):
+                        furl = sk_file_url(a, k, i, j)
+                        payload = _para_text(a, k, i * 10 + j, doc_pad_lines)
+                        if furl.endswith(".docx"):
+                            content = _make_docx(payload)
+                            gt = X.decode_docx(content)
+                        else:
+                            content = X.FAKE_PDF_HEADER + payload.encode()
+                            gt = payload
+                        add(furl, content, gt if ground_truth else None, lang, off)
+                        off += 1
+                    continue
+                if b == "greece":
+                    add(
+                        doc_url(a, k, i),
+                        _docpage_html(a, k, i, 1, doc_pad_lines).encode(),
+                        None, lang, off,
+                    )
+                    off += 1
+                    payload = _para_text(a, k, i, doc_pad_lines) + "\n[apofasi pdf]"
+                    add(
+                        gr_file_url(a, k, i),
+                        X.FAKE_PDF_HEADER + payload.encode(),
+                        payload if ground_truth else None, lang, off,
+                    )
+                    off += 1
+                    continue
+                if b == "luxembourg":
+                    nf = n_files if i % 3 else 0
+                    html = _docpage_html(a, k, i, nf, doc_pad_lines)
+                    gt = None
+                    if nf == 0 and ground_truth:
+                        gt = X.parse_docpage(a, doc_url(a, k, i), html)["text"]
+                    add(doc_url(a, k, i), html.encode(), gt, lang, off)
+                    off += 1
+                    for j in range(1, nf + 1):
+                        payload = _para_text(a, k, i) + f"\n[décision {j}]"
+                        add(
+                            lu_file_url(a, k, i, j),
+                            X.FAKE_PDF_HEADER + payload.encode(),
+                            payload if ground_truth else None, lang, off,
+                        )
+                        off += 1
                     continue
                 has_files = bool(cfg["depth2_selector"]) and (i % 2 == 1)
                 nf = n_files if has_files else 0
@@ -877,6 +1217,39 @@ def sequential_oracle(
             for i, (title, date_str, href) in enumerate(parsed["items"], start=1):
                 d = X.parse_date_str(a, date_str)
                 if not X.retained(a, d, as_of):
+                    continue
+                if X.cfg_of(a).get("title_at_docpage"):
+                    # slovenia: the title — and so the X1 key and P3 —
+                    # only exist after the docpage fetch
+                    # (slovenia/__init__.py:179-189); first occurrence
+                    # of a key wins (the reference's repeated-folder
+                    # overwrite collapsed to a deterministic rule)
+                    if _robots_disallowed(robots, href):
+                        continue
+                    item_seq = X.seq_child_item(page_seq, i)
+                    drow = web.get(href)
+                    fetch_order.append(href)
+                    if drow is None or drow.html is None:
+                        continue
+                    dp = X.parse_docpage(a, href, bytes(drow.html).decode("utf-8"))
+                    t2 = dp.get("title")
+                    if not t2:
+                        continue
+                    key = hashlib.md5(t2.encode()).hexdigest()
+                    if key in persistent or key in run_final_keys:
+                        continue
+                    docs.append(
+                        {
+                            "doc_hash": key,
+                            "authority": a,
+                            "url": href,
+                            "title": t2,
+                            "release_date": d,
+                            "text": dp["text"],
+                            "seq": item_seq,
+                        }
+                    )
+                    run_final_keys.add(key)
                     continue
                 doc_hash = hashlib.md5(title.encode()).hexdigest()  # X1
                 if doc_hash in persistent:  # P3: raw key vs prior runs

@@ -370,7 +370,10 @@ def admit_candidates(
         )
     )
     is_first = F.col("first_seq").isNull() & (F.col("__rn") == 1)
-    same_date = F.col("release_date") == F.col("first_date")
+    # null-safe: no-date profiles (retention 'none' — malta/bulgaria)
+    # register None as the first date, and a later None occurrence is
+    # the same-date-skip case (oracle: Python None == None)
+    same_date = F.col("release_date").eqNullSafe(F.col("first_date"))
     cand = cand.withColumn(
         "doc_hash",
         F.when(is_first, F.col("raw_hash")).otherwise(

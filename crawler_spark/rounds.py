@@ -57,7 +57,7 @@ import shutil
 import time
 from datetime import date
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -526,12 +526,21 @@ class CrawlRun:
         # 4a+4c in ONE dedupe pass (one Bloom cogroup + one residue
         # probe per round instead of two): depth-0 listing children with
         # fresh keys ∪ depth>=2 file/redirect children with inherited
-        # keys (depth 3 = EDPB alert-redirect pdf)
+        # keys (depth 3 = EDPB alert-redirect pdf) ∪ title-less depth-1
+        # children of post-fetch-keyed profiles (slovenia — admitted by
+        # URL alone; X1 keying happens after their docpage fetch)
         url_children = SN.dedupe_against_seen(
             self._to_frontier_rows(children.filter(F.col("depth") == 0))
             .unionByName(
                 self._to_frontier_rows(
                     children.filter(F.col("depth") >= 2), keep_keys=True
+                )
+            )
+            .unionByName(
+                self._to_frontier_rows(
+                    children.filter(
+                        (F.col("depth") == 1) & F.col("title").isNull()
+                    )
                 )
             )
             .dropDuplicates(["url_hash"]),
@@ -541,7 +550,7 @@ class CrawlRun:
 
         # 4b. expansion: depth-1 document candidates — X1 key + P3/P4
         cand = (
-            children.filter(F.col("depth") == 1)
+            children.filter((F.col("depth") == 1) & F.col("title").isNotNull())
             .withColumn("raw_hash", F.md5(F.encode(F.col("title"), "UTF-8")))
             .withColumn("doc_hash", F.lit(None).cast("string"))
         )
@@ -561,7 +570,9 @@ class CrawlRun:
         #    Derived from out_hits (not the union): misses are never docs,
         #    and keeping the miss branch out of this plan stops Catalyst
         #    constant-folding create_map(NULL,...) -> NULL_MAP_KEY.
-        docs = out_hits.filter(F.col("out_kind") == "doc").withColumn(
+        docs = out_hits.filter(
+            (F.col("out_kind") == "doc") & F.col("doc_hash").isNotNull()
+        ).withColumn(
             "final_key",
             F.when(
                 (F.col("depth") >= 2)
@@ -573,6 +584,31 @@ class CrawlRun:
                 ),
             ).otherwise(F.col("doc_hash")),
         )
+        # post-fetch-keyed docs (slovenia): the title — and therefore the
+        # X1 md5 key — only exists after the docpage fetch
+        # (slovenia/__init__.py:179-189).  Key now, then admit: first
+        # occurrence per raw key by seq wins within the round, and keys
+        # already in `seen` (prior rounds of this run = the reference's
+        # repeated-folder overwrite collapsed to first-wins; prior runs =
+        # P3 existing_docs) are skipped.  Probe-shaped anti-join: seen is
+        # scanned, never shuffled.
+        w_post = Window.partitionBy("doc_hash").orderBy("seq")
+        post = (
+            out_hits.filter(
+                (F.col("out_kind") == "doc")
+                & F.col("doc_hash").isNull()
+                & F.col("title").isNotNull()
+            )
+            .withColumn("raw_hash", F.md5(F.encode(F.col("title"), "UTF-8")))
+            .withColumn("doc_hash", F.col("raw_hash"))
+            .withColumn("__rn", F.row_number().over(w_post))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        post = SN.anti_join_probe(
+            post, self.seen.read(spark).select("doc_hash"), "doc_hash"
+        ).withColumn("final_key", F.col("doc_hash"))
+        docs = docs.unionByName(post)
         doc_rows = docs.select(
             F.col("final_key").alias("doc_hash"),
             "authority",
@@ -588,7 +624,8 @@ class CrawlRun:
         )
 
         # 6. seen delta: every depth-1 docpage fetched OK registers its
-        #    final key (oracle: run_final_keys.add after docpage fetch)
+        #    final key (oracle: run_final_keys.add after docpage fetch);
+        #    post-fetch-keyed docs register at admission time
         seen_delta = (
             out_hits.filter(
                 (F.col("depth") == 1)
@@ -597,6 +634,7 @@ class CrawlRun:
                 & F.col("doc_hash").isNotNull()
             )
             .select("doc_hash", "raw_hash", "release_date", "seq")
+            .unionByName(post.select("doc_hash", "raw_hash", "release_date", "seq"))
             .distinct()
             .select(
                 F.xxhash64(F.col("doc_hash")).alias("url_hash"),
