@@ -41,6 +41,53 @@ BAD = {
 }
 
 
+def aqe_skew_demo(spark) -> str:
+    """Run a deliberately skewed sort-merge join under AQE and capture
+    the FINAL adaptive plan showing the skew-split (``skew=true``) —
+    ROADMAP #5 / VERDICT round-2 next #8.
+
+    The shape is the crawl's hot-host case: one join key (a boilerplate
+    host) holds half the fact rows.  Thresholds are lowered so the demo
+    triggers at sandbox scale; at 100 TB the defaults (256 MB advisory,
+    factor 5) fire on the same plan shape.  AQE decides from RUNTIME
+    partition sizes, so the plan must be captured *after* execution —
+    a static EXPLAIN never shows the split.
+    """
+    from pyspark.sql import functions as F
+
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force sort-merge
+    }.items():
+        spark.conf.set(k, v)
+    # fact side: 1M rows, half of them on the hot key 0, with a payload
+    # column so the hot partition's bytes trip the skew threshold
+    fact = spark.range(0, 1_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(400)))
+        .alias("host_key"),
+        F.repeat(F.lit("x"), 64).alias("payload"),
+    )
+    dim = spark.range(0, 400).select(
+        F.col("id").alias("host_key"), F.col("id").alias("robots_group")
+    )
+    joined = fact.join(dim, "host_key").groupBy("robots_group").count()
+    joined.write.format("noop").mode("overwrite").save()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
+    assert "skew=true" in plan, "AQE skew split did not trigger"
+    keep = "\n".join(
+        l for l in plan.splitlines()
+        if "skew=true" in l or "AQEShuffleRead" in l or "SortMergeJoin" in l
+        or "isFinalPlan" in l
+    )
+    return keep
+
+
 def main() -> None:
     from crawler_spark import queries as Q
     from crawler_spark.session import get_spark
@@ -71,6 +118,22 @@ def main() -> None:
             "```",
             "",
         ]
+
+    skew_plan = aqe_skew_demo(spark)
+    lines += [
+        "## AQE skew-join demonstration (runtime-final plan)",
+        "",
+        "A hot-key sort-merge join (half the fact rows on one key) run",
+        "under AQE with sandbox-scale thresholds; the FINAL adaptive plan",
+        "shows the skewed partition split (`skew=true`) — the runtime",
+        "half of the engine's hot-host strategy (manual salting covers",
+        "the semantic politeness partitioning; AQE covers plain joins).",
+        "",
+        "```",
+        skew_plan,
+        "```",
+        "",
+    ]
 
     head = ["| query | good markers | flags |", "|---|---|---|"]
     for name, good, bad in summary:

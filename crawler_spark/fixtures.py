@@ -99,7 +99,7 @@ def host_for(a: str) -> str:
 def wide_authorities(width: int) -> tuple[str, ...]:
     """width clones of each of the 5 original authority shapes -> 5*width
     crawl chains (kept at 5 so bench numbers stay comparable across
-    rounds; the 12-shape coverage runs through the sf profiles)."""
+    rounds; the full 29-shape coverage runs through the sf profiles)."""
     base = ("austria", "ireland", "denmark", "finland", "italy")
     return tuple(f"{a}_{i}" for i in range(width) for a in base)
 

@@ -129,31 +129,25 @@ def host_budgets(
     )
 
 
-def salt_rows(
+def salt_plan(
     pending: DataFrame,
     budgets: DataFrame,
     salt_rows_target: int = 50_000,
 ) -> DataFrame:
-    """Attach the salt plan to pending rows (stage 1+2 of scheduling).
+    """Per-host salt plan: (host, n_pending, budget, n_salts, salt_budget).
 
-    1. per-host pending counts -> salt count ``S = clamp(ceil(n/target),
-       1, min(MAX_SALTS, budget))`` — S never exceeds the budget so the
-       per-salt budget ``budget // S`` keeps host totals <= budget.
-    2. ``host_salt = host#pmod(url_hash, S)`` spreads a hot host over S
-       shuffle partitions (the rank window then runs within salts, so
-       no single reducer sees the whole hot host).
-
-    The counts aggregation scans pending but is a cheap map-side
-    partial agg over two columns — the O(pending)-per-round terms the
-    pre-prune kills are the full-row shuffle+sort of the rank window
-    and the robots UDF pass, not this count.
+    ``S = clamp(ceil(n/target), 1, min(MAX_SALTS, budget))`` — S never
+    exceeds the budget so the per-salt budget ``budget // S`` keeps host
+    totals <= budget.  A cheap two-column map-side partial aggregation
+    over pending.
     """
     counts = pending.groupBy("host").agg(F.count("*").alias("n_pending"))
-    plan = (
+    return (
         counts.join(F.broadcast(budgets), "host", "left")
         .na.fill({"budget": UNLIMITED_BUDGET})
         .select(
             "host",
+            "n_pending",
             "budget",
             F.least(
                 F.greatest(
@@ -167,7 +161,40 @@ def salt_rows(
             "salt_budget", F.floor(F.col("budget") / F.col("n_salts")).cast("int")
         )
     )
-    return pending.join(F.broadcast(plan), "host").withColumn(
+
+
+def budgets_bind(plan: DataFrame) -> bool:
+    """True iff some host's pending exceeds what its budget admits.
+
+    When False, the rank window keeps every row — an O(pending)
+    shuffle+sort (and the pre-prune pass feeding it) that cannot cut
+    anything.  Callers skip both: the same cost-based plan choice as
+    AQE's broadcast threshold, decided from one tiny aggregate over the
+    per-host plan.  Wide-open rounds (politeness budgets >> per-host
+    pending — the common shape when thousands of cold hosts advance
+    together) pay zero scheduling shuffle.
+    """
+    row = plan.agg(
+        F.max(
+            F.col("n_pending") - F.col("n_salts").cast("long") * F.col("salt_budget")
+        ).alias("excess")
+    ).collect()[0]
+    return row["excess"] is not None and row["excess"] > 0
+
+
+def salt_rows(
+    pending: DataFrame,
+    budgets: DataFrame,
+    salt_rows_target: int = 50_000,
+    plan: DataFrame | None = None,
+) -> DataFrame:
+    """Attach the salt plan to pending rows (stage 1+2 of scheduling):
+    ``host_salt = host#pmod(url_hash, S)`` spreads a hot host over S
+    shuffle partitions so the rank window never sees a whole hot host
+    in one reducer."""
+    if plan is None:
+        plan = salt_plan(pending, budgets, salt_rows_target)
+    return pending.join(F.broadcast(plan.drop("n_pending")), "host").withColumn(
         "host_salt",
         F.concat(
             F.col("host"), F.lit("#"), F.pmod(F.col("url_hash"), F.col("n_salts"))
@@ -197,7 +224,11 @@ def preprune(salted: DataFrame, margin: int = 4) -> DataFrame:
 
     def prune(batches):
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            # a group can never exceed its batch: when every row's
+            # budget x margin covers the whole batch, nothing can be
+            # pruned — skip the sort entirely (wide-open budgets)
+            if n == 0 or (pdf["salt_budget"].to_numpy() * margin >= n).all():
                 yield pdf
                 continue
             pdf = pdf.sort_values(["host_salt", "priority", "seq"])
@@ -226,8 +257,12 @@ def schedule(
     preprune_margin: int | None = None,
 ) -> DataFrame:
     """Pick this round's fetch set under per-host budgets
-    (salt -> optional map-side pre-prune -> rank window)."""
-    salted = salt_rows(pending, budgets, salt_rows_target)
+    (salt -> optional map-side pre-prune -> rank window; the window is
+    skipped entirely when no budget binds — see :func:`budgets_bind`)."""
+    plan = salt_plan(pending, budgets, salt_rows_target)
+    salted = salt_rows(pending, budgets, salt_rows_target, plan=plan)
+    if not budgets_bind(plan):
+        return salted.drop("n_salts", "salt_budget", "budget", "host_salt")
     if preprune_margin is not None:
         salted = preprune(salted, margin=preprune_margin)
     return rank_budget(salted)

@@ -163,6 +163,15 @@ def gdpr_tree_rows() -> list[tuple[int, int, str]]:
 #: RE2 parse it identically (no lookaround, no backrefs).
 CITE_FULL_RE = "[Aa]rticle ([0-9]{1,3})(\\\\(([0-9]{1,2})\\\\))?(\\\\(([a-z])\\\\))?"
 
+#: one reference item: N [(par)] [(let)]
+_ITEM = "[0-9]{1,3}(\\\\([0-9]{1,2}\\\\))?(\\\\([a-z]\\\\))?"
+#: a reference SPAN: 'Article(s)' followed by a connective list of items
+#: — "Articles 5 and 6(1)(a)" yields TWO refs, the dangling number
+#: attributed to the nearest preceding article keyword exactly like the
+#: reference's token walk (citations_metadata_service/__init__.py:93-146).
+CITE_SPAN_RE = f"[Aa]rticles? {_ITEM}((,| and| or) {_ITEM})*"
+CITE_ITEM_RE = _ITEM
+
 
 def with_citation_text_full(docs: DataFrame) -> DataFrame:
     """Augmentation for the full A2 semantics: one sentence with a
@@ -175,6 +184,12 @@ def with_citation_text_full(docs: DataFrame) -> DataFrame:
     l1 = F.expr("chr(97 + cast(doc_id % 8 as int))")
     a2 = (F.col("doc_id") % 99 + 1).cast("string")
     a3 = (F.col("doc_id") % 50 + 1).cast("string")
+    # split-reference sentence: "Articles B1 and B2(p)(l)" — the bare B1
+    # must be attributed as its own article (nearest-article rule)
+    b1 = (F.col("doc_id") % 21 + 1).cast("string")
+    b2 = (F.col("doc_id") * 7 % 120 + 1).cast("string")
+    p2 = (F.col("doc_id") % 11 + 1).cast("string")
+    l2 = F.expr("chr(97 + cast(doc_id % 6 as int))")
     return docs.withColumn(
         "text",
         F.concat(
@@ -182,7 +197,10 @@ def with_citation_text_full(docs: DataFrame) -> DataFrame:
             F.lit(". Article "), a1, F.lit("("), p1, F.lit(")("), l1,
             F.lit(") and Article "), a2,
             F.lit(" of Regulation 2016/679 were infringed"),
-            F.lit(". Article "), a3, F.lit("(2) is discussed elsewhere."),
+            F.lit(". Article "), a3, F.lit("(2) is discussed elsewhere"),
+            F.lit(". Articles "), b1, F.lit(" and "), b2,
+            F.lit("("), p2, F.lit(")("), l2,
+            F.lit(") under the GDPR framework apply."),
         ),
     )
 
@@ -194,7 +212,12 @@ DUCK_CITATION_FULL_TEXT = (
     " || cast(doc_id % 99 + 1 as varchar)"
     " || ' of Regulation 2016/679 were infringed'"
     " || '. Article ' || cast(doc_id % 50 + 1 as varchar)"
-    " || '(2) is discussed elsewhere.'"
+    " || '(2) is discussed elsewhere'"
+    " || '. Articles ' || cast(doc_id % 21 + 1 as varchar)"
+    " || ' and ' || cast(doc_id * 7 % 120 + 1 as varchar)"
+    " || '(' || cast(doc_id % 11 + 1 as varchar) || ')('"
+    " || chr(97 + cast(doc_id % 6 as int))"
+    " || ') under the GDPR framework apply.'"
 )
 
 
@@ -202,10 +225,14 @@ def citations_full(docs: DataFrame) -> DataFrame:
     """A2 with the reference's full structure
     (citations_metadata_service/__init__.py:38-191):
 
-    1. sentence scan — only sentences naming both an article and the
-       regulation ('2016/679' / 'gdpr') yield refs (:44-67 gate);
-    2. refs = article + optional (paragraph) + optional (letter), the
-       nearest-article attribution collapsed into one match (:93-146);
+    1. sentence scan — only sentences passing the stem gate ('articl',
+       the Porter stem of article/articles, :44-50) AND naming the
+       regulation ('2016/679' / 'gdpr') yield refs (:51-67);
+    2. reference SPANS — 'Article(s)' followed by a connective list —
+       are extracted first, then each item inside a span becomes its own
+       ref: "Articles 5 and 6(1)(a)" yields (5) and (6,1,a), the
+       dangling number attributed to the nearest preceding article
+       keyword exactly like the reference's token walk (:93-146);
     3. validation-tree **broadcast join**
        (valid_gdpr_article_ref_specification.py:4-38);
     4. chapter/section attach by article-range broadcast join
@@ -231,31 +258,31 @@ def citations_full(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(F.expr("split(text, '[.!?] ')")).alias("sent"),
     ).filter(
-        F.lower(F.col("sent")).contains("article")
+        F.lower(F.col("sent")).contains("articl")  # Porter-stem gate
         & (
             F.col("sent").contains("2016/679")
             | F.lower(F.col("sent")).contains("gdpr")
         )
     )
-    refs = sent.select(
+    spans = sent.select(
         "doc_id",
         F.explode(
-            F.expr(f"regexp_extract_all(sent, '{CITE_FULL_RE}', 0)")
+            F.expr(f"regexp_extract_all(sent, '{CITE_SPAN_RE}', 0)")
+        ).alias("span"),
+    )
+    refs = spans.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(span, '{CITE_ITEM_RE}', 0)")
         ).alias("m"),
     ).select(
         "doc_id",
-        F.regexp_extract("m", CITE_FULL_RE.replace("\\\\", "\\"), 1)
-        .cast("int")
-        .alias("article"),
-        F.nullif(
-            F.regexp_extract("m", CITE_FULL_RE.replace("\\\\", "\\"), 3),
-            F.lit(""),
-        )
+        F.regexp_extract("m", "^([0-9]{1,3})", 1).cast("int").alias("article"),
+        F.nullif(F.regexp_extract("m", "\\(([0-9]{1,2})\\)", 1), F.lit(""))
         .cast("int")
         .alias("paragraph"),
         F.nullif(
-            F.regexp_extract("m", CITE_FULL_RE.replace("\\\\", "\\"), 5),
-            F.lit(""),
+            F.regexp_extract("m", "\\(([a-z])\\)", 1), F.lit("")
         ).alias("letter"),
     )
     valid = (
@@ -597,23 +624,38 @@ EN_STOPWORDS = (
 )
 
 
+#: deterministic lemma step standing in for WordNet lemmatization
+#: (keywords_metadata_service/__init__.py:20-24): plural suffix rules
+#: ies->y / keep -ss / strip trailing -s, written without regex
+#: backreferences so Spark and DuckDB compile byte-identical transforms.
+LEMMA_SQL = (
+    "CASE WHEN w LIKE '%ss' THEN w "
+    "WHEN w LIKE '%s' THEN left(w, length(w) - 1) ELSE w END"
+)
+#: adverb drop standing in for the pos_tag 'RB' filter (:25-29):
+#: -ly suffix heuristic (deterministic; nltk's tagger is not)
+ADVERB_SQL = "NOT (w LIKE '%ly' AND length(w) > 4)"
+
+
 def keywords_full(docs: DataFrame, k: int = 20) -> DataFrame:
     """A4 with the reference's pipeline shape
     (keywords_metadata_service/__init__.py:14-35): strip non-letters,
-    lowercase, drop English stopwords, then CountVectorizer
-    ``ngram_range=(1,3)`` frequencies, top-k per doc.  The lemmatize +
-    adverb-POS-filter leaves (nltk WordNet / pos_tag) are identity here
-    — non-deterministic across nltk versions and not SQL-expressible;
-    the dataflow (clean -> filter -> n-gram explode -> count -> rank) is
-    the part that matters at scale.  Ties break on the gram string.
+    lowercase, drop English stopwords, drop adverbs (deterministic -ly
+    rule for pos_tag RB), lemmatize (deterministic suffix table for
+    WordNet), then CountVectorizer ``ngram_range=(1,3)`` frequencies,
+    top-k per doc.  Ties break on the gram string.
     Output: (doc_id, gram, n_occ, rnk).
     """
     stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     toks = docs.select(
         "doc_id",
         F.expr(
+            "transform(transform("
             "filter(split(lower(regexp_replace(text, '[^a-zA-Z]', ' ')), ' +'), "
-            f"w -> w <> '' AND NOT array_contains(array({stop}), w))"
+            f"w -> w <> '' AND NOT array_contains(array({stop}), w) "
+            f"AND {ADVERB_SQL}), "
+            "w -> regexp_replace(w, 'ies$', 'y')), "
+            f"w -> {LEMMA_SQL})"
         ).alias("tokens"),
     )
     parts = []

@@ -685,7 +685,8 @@ def q_citations_full(spark, sf_dir):
 
 
 def _oracle_citations_full() -> str:
-    pat = metadata.CITE_FULL_RE.replace("\\\\", "\\")
+    span_pat = metadata.CITE_SPAN_RE.replace("\\\\", "\\")
+    item_pat = metadata.CITE_ITEM_RE.replace("\\\\", "\\")
     tree_vals = ", ".join(
         f"({a}, {p}, '{l}')" for a, p, l in metadata.gdpr_tree_rows()
     )
@@ -697,13 +698,14 @@ def _oracle_citations_full() -> str:
 WITH d AS (SELECT doc_id, {metadata.DUCK_CITATION_FULL_TEXT} AS text FROM documents),
 sent AS (SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?] ')) AS sent FROM d),
 gated AS (SELECT * FROM sent
-  WHERE contains(lower(sent), 'article')
+  WHERE contains(lower(sent), 'articl')
     AND (contains(sent, '2016/679') OR contains(lower(sent), 'gdpr'))),
-m AS (SELECT doc_id, unnest(regexp_extract_all(sent, '{pat}', 0)) AS m FROM gated),
+spans AS (SELECT doc_id, unnest(regexp_extract_all(sent, '{span_pat}', 0)) AS span FROM gated),
+m AS (SELECT doc_id, unnest(regexp_extract_all(span, '{item_pat}', 0)) AS m FROM spans),
 refs AS (SELECT doc_id,
-    cast(regexp_extract(m, '{pat}', 1) as int) AS article,
-    cast(nullif(regexp_extract(m, '{pat}', 3), '') as int) AS paragraph,
-    nullif(regexp_extract(m, '{pat}', 5), '') AS letter
+    cast(regexp_extract(m, '^([0-9]{{1,3}})', 1) as int) AS article,
+    cast(nullif(regexp_extract(m, '\\(([0-9]{{1,2}})\\)', 1), '') as int) AS paragraph,
+    nullif(regexp_extract(m, '\\(([a-z])\\)', 1), '') AS letter
   FROM m),
 tree(article, par0, let0) AS (VALUES {tree_vals}),
 chap(chapter, section, min_art, max_art) AS (VALUES {chap_vals}),
@@ -773,8 +775,12 @@ def _oracle_keywords_full() -> str:
     union = " UNION ALL ".join(gram_selects)
     return f"""
 WITH t AS (SELECT doc_id,
-    list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^a-zA-Z]', ' ', 'g')), ' +'),
-                w -> w <> '' AND NOT list_contains([{stop}], w)) AS tokens
+    list_transform(list_transform(
+      list_filter(regexp_split_to_array(lower(regexp_replace(text, '[^a-zA-Z]', ' ', 'g')), ' +'),
+                  w -> w <> '' AND NOT list_contains([{stop}], w)
+                       AND {metadata.ADVERB_SQL}),
+      w -> regexp_replace(w, 'ies$', 'y')),
+      w -> {metadata.LEMMA_SQL}) AS tokens
   FROM documents),
 g AS ({union}),
 c AS (SELECT doc_id, gram, cast(count(*) as bigint) AS n_occ FROM g GROUP BY 1, 2)
@@ -1217,6 +1223,44 @@ def q_multimodal_decode(spark, sf_dir):
     return multimodal.decode_stats(media)
 
 
+def q_multimodal_png(spark, sf_dir):
+    """REAL image codec round-trip: synthesize genuine PNGs (one per doc,
+    doc_id-derived geometry + constant color), then decode them with the
+    stdlib PNG decoder (zlib inflate + filter reconstruction).  The
+    oracle recomputes the expected geometry/means arithmetically — a
+    wrong decoder cannot pass."""
+    media = multimodal.synth_png_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_image_stats(media)
+
+
+ORACLE_MULTIMODAL_PNG = """
+SELECT doc_id AS media_id,
+  cast(doc_id % 32 + 9 as bigint) AS width,
+  cast(doc_id % 24 + 7 as bigint) AS height,
+  round(cast(doc_id % 256 as double), 4) AS mean_r,
+  round(cast(doc_id * 3 % 256 as double), 4) AS mean_g,
+  round(cast(doc_id * 7 % 256 as double), 4) AS mean_b
+FROM documents
+"""
+
+
+def q_multimodal_wav(spark, sf_dir):
+    """REAL audio codec round-trip: mono 16-bit WAVs of constant
+    amplitude, decoded via stdlib ``wave``; RMS of a constant signal
+    equals the amplitude, so decode correctness is arithmetic."""
+    media = multimodal.synth_wav_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_audio_stats(media)
+
+
+ORACLE_MULTIMODAL_WAV = """
+SELECT doc_id AS media_id,
+  cast(doc_id % 100 + 10 as bigint) AS n_frames,
+  cast(8000 as bigint) AS framerate,
+  round(cast(doc_id % 1000 as double), 4) AS rms
+FROM documents
+"""
+
+
 ORACLE_MULTIMODAL = """
 SELECT doc_id AS media_id, 'doc' AS kind,
   cast(octet_length(encode(text)) as bigint) AS n_bytes,
@@ -1319,6 +1363,8 @@ QUERIES = {
     "locale_dates": q_locale_dates,
     "reachability": q_reachability,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_png": q_multimodal_png,
+    "multimodal_wav": q_multimodal_wav,
     "citations": q_citations,
     "citations_full": q_citations_full,
     "citation_count": q_citation_count,
@@ -1366,6 +1412,8 @@ ORACLES = {
     "emb_neardup_lsh": ORACLE_EMB_NEARDUP_LSH,
     "locale_dates": ORACLE_LOCALE_DATES,
     "multimodal_decode": ORACLE_MULTIMODAL,
+    "multimodal_png": ORACLE_MULTIMODAL_PNG,
+    "multimodal_wav": ORACLE_MULTIMODAL_WAV,
     "citations": ORACLE_CITATIONS,
     "citations_full": ORACLE_CITATIONS_FULL,
     "citation_count": ORACLE_CITATION_COUNT,

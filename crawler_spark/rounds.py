@@ -86,7 +86,7 @@ class CrawlRun:
         n_shards: int = SN.DEFAULT_SHARDS,
         light_stats: bool = False,
         store_content: bool = True,
-        broadcast_rows_max: int = 2_000_000,
+        broadcast_rows_max: int = 500_000,
         max_attempts: int = 3,
         bloom_min_rows: int = 1_000_000,
         preprune_margin: int = 4,
@@ -113,8 +113,13 @@ class CrawlRun:
         # (pygdpr/models/dpa/austria/__init__.py:134-148).
         self.store_content = store_content
         # above this many scheduled rows the fetch join falls back from a
-        # broadcast hint to a plain equi-join (AQE / storage-partitioned
-        # join on a real cluster) instead of OOMing the driver
+        # broadcast hint to a plain equi-join: a monster round's
+        # scheduled set (~300 B/row) is hundreds of MB — building and
+        # shipping that to every executor is driver-serial and
+        # per-executor-copied, while the shuffle path is fully parallel
+        # (measured faster AND better-scaling at 32 cores for a 1.6M-row
+        # round).  On a real cluster the equi-join becomes an Iceberg
+        # storage-partitioned join on bucketed url — no pages shuffle
         self.broadcast_rows_max = broadcast_rows_max
         # R4: total fetch attempts per URL before terminal failure
         self.max_attempts = max_attempts
@@ -405,16 +410,25 @@ class CrawlRun:
         #    robots-denied rows — simply stay pending and surface in a
         #    later round when their (priority, seq) turn comes.
         budgets = FR.host_budgets(pending_slim, self.seeds_df(), self.round_seconds)
-        pruned = FR.preprune(
-            FR.salt_rows(pending_slim, budgets), margin=self.preprune_margin
-        )
-        flagged = FR.robots_flag(pruned, self.robots_df()).persist(
+        plan = FR.salt_plan(pending_slim, budgets)
+        # cost-based window skip: when no host's pending exceeds its
+        # budget, the rank window admits everything — skip the O(round)
+        # shuffle+sort AND the pre-prune pass feeding it (the wide-open
+        # regime thousands of cold hosts advance in; one tiny plan
+        # aggregate decides, like AQE's broadcast threshold)
+        binding = FR.budgets_bind(plan)
+        salted = FR.salt_rows(pending_slim, budgets, plan=plan)
+        if binding:
+            salted = FR.preprune(salted, margin=self.preprune_margin)
+        flagged = FR.robots_flag(salted, self.robots_df()).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         plan_cols = ("n_salts", "salt_budget", "budget", "host_salt")
         allowed = flagged.filter(F.col("__allowed")).drop("__allowed")
         denied = flagged.filter(~F.col("__allowed")).drop("__allowed", *plan_cols)
-        sched_all = FR.rank_budget(allowed)
+        sched_all = (
+            FR.rank_budget(allowed) if binding else allowed.drop(*plan_cols)
+        )
         if self.quota_budgets:
             # R3 quota gate on the politeness-scheduled set: deferred
             # rows are simply NOT scheduled (no tombstone), so they

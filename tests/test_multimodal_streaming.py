@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 def test_decode_stats_matches_hashlib(spark):
     payload = b"hello multimodal world"
     df = spark.createDataFrame(
-        [(1, "image", bytearray(payload), "image/png")], multimodal.MEDIA
+        [(1, "doc", bytearray(payload), "text/plain")], multimodal.MEDIA
     )
     row = multimodal.decode_stats(df).collect()[0]
     digest = hashlib.md5(payload).hexdigest()
@@ -38,9 +38,83 @@ def test_feature_and_frames_deterministic(spark):
     assert frames[0]["frame_checksum"] == hashlib.md5(payload[:1024]).hexdigest()
 
 
-def test_real_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal._decode_image_real(b"\x89PNG")
+def test_png_codec_roundtrip_all_filters():
+    """The stdlib PNG decoder must reconstruct every scanline filter
+    type (0-4) — verified against an independent reference encoder."""
+    import struct
+    import zlib
+
+    def ref_png(width, height, pix, filters):
+        raw = b""
+        prev = [0] * (3 * width)
+        for y in range(height):
+            line = [c for x in range(width) for c in pix(x, y)]
+            f = filters[y % len(filters)]
+            enc = []
+            for i, v in enumerate(line):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if f == 0:
+                    enc.append(v & 0xFF)
+                elif f == 1:
+                    enc.append((v - a) & 0xFF)
+                elif f == 2:
+                    enc.append((v - b) & 0xFF)
+                elif f == 3:
+                    enc.append((v - (a + b) // 2) & 0xFF)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc.append((v - pred) & 0xFF)
+            raw += bytes([f]) + bytes(enc)
+            prev = line
+
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    pix = lambda x, y: ((x * 7 + y * 3) % 256, (x + y) % 256, (x * x + y) % 256)
+    data = ref_png(5, 6, pix, [0, 1, 2, 3, 4])
+    w, h, r, g, bl = multimodal.decode_png(data)
+    exp = [0.0, 0.0, 0.0]
+    for y in range(6):
+        for x in range(5):
+            for i, c in enumerate(pix(x, y)):
+                exp[i] += c
+    exp = [e / 30 for e in exp]
+    assert (w, h) == (5, 6)
+    assert abs(r - exp[0]) < 1e-9 and abs(g - exp[1]) < 1e-9 and abs(bl - exp[2]) < 1e-9
+    # encoder/decoder roundtrip with a constant color
+    w2, h2, r2, g2, b2 = multimodal.decode_png(multimodal.encode_png(17, 9, (200, 30, 99)))
+    assert (w2, h2, r2, g2, b2) == (17, 9, 200.0, 30.0, 99.0)
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"not a png")
+
+
+def test_wav_codec_roundtrip():
+    n, rate, rms = multimodal.decode_wav(multimodal.encode_wav(57, 345))
+    assert (n, rate, rms) == (57, 8000, 345.0)
+
+
+def test_decode_stats_dispatches_real_codecs(spark):
+    rows = [
+        (1, "image", bytearray(multimodal.encode_png(12, 8, (9, 9, 9))), "image/png"),
+        (2, "audio", bytearray(multimodal.encode_wav(33, 100)), "audio/wav"),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA)
+    got = {r["media_id"]: (r["width"], r["height"]) for r in multimodal.decode_stats(df).collect()}
+    assert got[1] == (12, 8)  # real PNG geometry
+    assert got[2] == (33, 8000)  # n_frames, framerate
 
 
 def test_stream_twin_equals_batch_twin(spark):

@@ -40,3 +40,28 @@ def test_simhash_cap_bounds_planted_cluster(spark):
     capped = simhash_pairs(docs, max_hamming=3, max_bucket=10).count()
     assert uncapped >= 40 * 39 // 2
     assert capped < 50
+
+
+def test_registered_queries_run_with_cap_active(spark, tmp_path):
+    """VERDICT round-2 next #4: the REGISTERED dedup queries (cap ON by
+    default) must bound a planted boilerplate cluster larger than the
+    cap — the skew protection exists on the path users actually run."""
+    from crawler_spark import queries as Q
+
+    rows = [(i, "identical boilerplate page body repeated verbatim " * 4)
+            for i in range(600)]  # 600 > the registered caps (256/512)
+    rows += [
+        (1000 + i, f"unique document number {i} about topic {i * 7} "
+                   f"and case {i * 13} in distinct words")
+        for i in range(10)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    n_mh = Q.QUERIES["dedup_minhash_lsh"](spark, str(tmp_path)).count()
+    n_sh = Q.QUERIES["dedup_simhash"](spark, str(tmp_path)).count()
+    # uncapped, the 600-doc cluster alone would emit 600*599/2 ≈ 180k
+    # pairs; the registered caps drop the oversized buckets entirely
+    assert n_mh < 1000, f"minhash cap inactive: {n_mh} pairs"
+    assert n_sh < 1000, f"simhash cap inactive: {n_sh} pairs"
