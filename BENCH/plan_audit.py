@@ -52,6 +52,22 @@ def aqe_skew_demo(spark) -> str:
     factor 5) fire on the same plan shape.  AQE decides from RUNTIME
     partition sizes, so the plan must be captured *after* execution —
     a static EXPLAIN never shows the split.
+
+    Three pitfalls this demo codifies (each silently yields a skewless
+    plan):
+
+    1. ``df.write`` builds a NEW QueryExecution around the write
+       command — ``df._jdf.queryExecution()`` afterwards is the
+       *unexecuted* plan (``isFinalPlan=false``).  Execute via an
+       action on the same frame (``collect()``) to read the final plan.
+    2. Skew detection uses COMPRESSED map-output sizes.  A constant
+       payload (``repeat('x', 64)``) compresses to KBs and the "hot"
+       partition never crosses the threshold — the payload must be
+       per-row-unique (sha2 here).
+    3. Catalyst column-prunes the payload out of the shuffle if nothing
+       downstream reads it, reducing the hot partition to its constant
+       join key (which also compresses away).  The aggregate must
+       consume the payload (``sum(length(payload))``).
     """
     from pyspark.sql import functions as F
 
@@ -64,19 +80,31 @@ def aqe_skew_demo(spark) -> str:
         "spark.sql.autoBroadcastJoinThreshold": "-1",  # force sort-merge
     }.items():
         spark.conf.set(k, v)
-    # fact side: 1M rows, half of them on the hot key 0, with a payload
-    # column so the hot partition's bytes trip the skew threshold
+    # fact side: 1M rows, half of them on the hot key 0, with an
+    # incompressible (per-row-unique) payload so the hot partition's
+    # compressed shuffle bytes actually trip the skew threshold
     fact = spark.range(0, 1_000_000).select(
         F.when(F.col("id") % 2 == 0, F.lit(0))
         .otherwise(F.pmod(F.col("id"), F.lit(400)))
         .alias("host_key"),
-        F.repeat(F.lit("x"), 64).alias("payload"),
+        F.concat(
+            F.sha2(F.col("id").cast("string"), 256),
+            F.sha2((F.col("id") + 1).cast("string"), 256),
+        ).alias("payload"),
     )
     dim = spark.range(0, 400).select(
         F.col("id").alias("host_key"), F.col("id").alias("robots_group")
     )
-    joined = fact.join(dim, "host_key").groupBy("robots_group").count()
-    joined.write.format("noop").mode("overwrite").save()
+    # the agg must read payload or Catalyst prunes it out of the shuffle
+    joined = (
+        fact.join(dim, "host_key")
+        .groupBy("robots_group")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("payload")).alias("payload_bytes"),
+        )
+    )
+    joined.collect()  # action on the SAME frame: its QE holds the final plan
     plan = joined._jdf.queryExecution().executedPlan().toString()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
     assert "skew=true" in plan, "AQE skew split did not trigger"

@@ -148,7 +148,10 @@ clears it by >2 orders of magnitude at either level while honoring the
 same per-host politeness budgets inside salted partitions.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # raw per-run table; the curated analysis (probes, decomposition,
+    # variance discipline) lives in BENCH/BASELINE.md and is written by
+    # hand from a single idle-box window — don't clobber it
+    with open(os.path.join(REPO, "BENCH", "SCALING_LAST.md"), "w") as f:
         f.write(md)
     print(json.dumps(result))
 

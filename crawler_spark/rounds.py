@@ -86,7 +86,7 @@ class CrawlRun:
         n_shards: int = SN.DEFAULT_SHARDS,
         light_stats: bool = False,
         store_content: bool = True,
-        broadcast_rows_max: int = 500_000,
+        broadcast_rows_max: int = 2_000_000,
         max_attempts: int = 3,
         bloom_min_rows: int = 1_000_000,
         preprune_margin: int = 4,
@@ -113,13 +113,15 @@ class CrawlRun:
         # (pygdpr/models/dpa/austria/__init__.py:134-148).
         self.store_content = store_content
         # above this many scheduled rows the fetch join falls back from a
-        # broadcast hint to a plain equi-join: a monster round's
-        # scheduled set (~300 B/row) is hundreds of MB — building and
-        # shipping that to every executor is driver-serial and
-        # per-executor-copied, while the shuffle path is fully parallel
-        # (measured faster AND better-scaling at 32 cores for a 1.6M-row
-        # round).  On a real cluster the equi-join becomes an Iceberg
-        # storage-partitioned join on bucketed url — no pages shuffle
+        # broadcast hint to a plain equi-join instead of OOMing the
+        # driver.  Measured on a 1.87M-URL round (round 3): isolated,
+        # the shuffle join is ~4% faster at 32 cores — but in the full
+        # crawl the pages-side html shuffle contends with scratch/state
+        # writes on the same local disks and loses by ~25%, so the
+        # local-mode default keeps broadcasting up to 2M rows.  On a
+        # real cluster neither applies: the equi-join becomes an Iceberg
+        # storage-partitioned join on bucketed url (no shuffle, no
+        # driver-side build)
         self.broadcast_rows_max = broadcast_rows_max
         # R4: total fetch attempts per URL before terminal failure
         self.max_attempts = max_attempts
