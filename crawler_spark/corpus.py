@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -112,10 +113,15 @@ def ngram_jaccard_pairs(
     is the shingle string.  Output: (doc_a, doc_b, jaccard) with
     doc_a < doc_b, jaccard rounded to 4.
     """
+    # filter BEFORE the shingle projection: a predicate on the derived
+    # column gets pushed below the project by Catalyst and re-evaluates
+    # the whole interpreted higher-order expression per row (measured
+    # ~10x on the minhash twin of this pipeline).  size(sh) > 0 is
+    # exactly size(tokens) >= k.
     sh = (
         with_tokens(docs)
+        .filter(F.size("tokens") >= k)
         .select("doc_id", F.expr(shingles_expr(k)).alias("sh"))
-        .filter(F.size("sh") > 0)
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
@@ -146,24 +152,57 @@ def ngram_jaccard_pairs(
     )
 
 
+# Universal-hash MinHash permutations: sig[i] = min over shingles of
+# (a_i * h(shingle) + b_i) mod P, with h = the 60-bit md5 prefix
+# (duck_h64) reduced mod P.  P = 2^31 - 1 (Mersenne prime) keeps every
+# product a_i * h < 2^62 inside int64 on BOTH engines (numpy int64 and
+# DuckDB bigint), so the arithmetic — and therefore the signatures and
+# band keys — is byte-identical to the SQL oracle.  Coefficients are
+# md5-derived constants: deterministic, engine-independent, no RNG.
+MINHASH_P = 2147483647
+
+
+def minhash_coeffs(n_hashes: int) -> tuple[list[int], list[int]]:
+    a = [
+        int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:8], 16)
+        % (MINHASH_P - 1)
+        + 1
+        for i in range(n_hashes)
+    ]
+    b = [
+        int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        for i in range(n_hashes)
+    ]
+    return a, b
+
+
 def _minhash_sig_udf(n_hashes: int):
-    """Arrow-vectorized MinHash: sig[i] = min md5(f'{i}:{shingle}').
+    """Arrow-vectorized MinHash signatures.
 
-    Catalyst higher-order lambdas are interpreted (not codegen'd), so
-    the O(n_hashes x shingles) md5 loop is 10-50x faster as a pandas
-    UDF; the hash bytes are identical, so the DuckDB oracle and the
-    band join are unchanged.
+    ONE md5 per shingle (the permutation family is cheap int64
+    arithmetic on top of it), instead of the classic n_hashes
+    md5('i:'+shingle) per shingle — an n_hashes-fold cut in the only
+    expensive kernel.  The per-doc min over permutations is a single
+    numpy (n_hashes, n_shingles) broadcast + min(axis=1).
     """
+    a, b = minhash_coeffs(n_hashes)
+    A = np.array(a, dtype=np.int64)[:, None]
+    B = np.array(b, dtype=np.int64)[:, None]
 
-    @pandas_udf(ArrayType(StringType()))
+    @pandas_udf(ArrayType(LongType()))
     def sig_udf(sh: pd.Series) -> pd.Series:
-        prefixes = [f"{i}:".encode() for i in range(n_hashes)]
         out = []
         for shingles in sh:
-            encs = [s.encode() for s in shingles]
-            out.append(
-                [min(hashlib.md5(p + e).hexdigest() for e in encs) for p in prefixes]
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    % MINHASH_P
+                    for s in shingles
+                ),
+                dtype=np.int64,
+                count=len(shingles),
             )
+            out.append(((A * h[None, :] + B) % MINHASH_P).min(axis=1))
         return pd.Series(out)
 
     return sig_udf
@@ -172,18 +211,23 @@ def _minhash_sig_udf(n_hashes: int):
 def minhash_signatures(
     docs: DataFrame, k: int = 3, n_hashes: int = 16
 ) -> DataFrame:
-    """(doc_id, sig: array<string>, sh: array<string>) MinHash signatures.
+    """(doc_id, sig: array<bigint>, sh: array<string>) MinHash signatures.
 
-    sig[i] = min over shingles of md5(i ':' shingle) — min over a
-    hash-ordered permutation, the classic MinHash estimator.  Shingling
-    stays JVM-side; the md5xN_hashes inner loop runs Arrow-vectorized
-    (see _minhash_sig_udf).  Docs with no shingles (fewer than k
-    tokens) are dropped.  Zero shuffle either way.
+    sig[i] = min over shingles of (a_i * h64(shingle) + b_i) mod P —
+    min over a hash-ordered permutation, the classic MinHash estimator
+    with a universal-hash permutation family (see MINHASH_P /
+    minhash_coeffs).  Shingling stays JVM-side; the md5 + permutation
+    inner loop runs Arrow-vectorized (see _minhash_sig_udf).  Docs with
+    no shingles (fewer than k tokens) are dropped.  Zero shuffle.
     """
+    # size(tokens) >= k BEFORE the projection == size(sh) > 0 after it,
+    # without Catalyst pushing size(<shingle-expr>) into the predicate
+    # and evaluating the interpreted expression twice (measured ~10x on
+    # this exact pipeline at sf0.1)
     return (
         with_tokens(docs)
+        .filter(F.size("tokens") >= k)
         .select("doc_id", F.expr(shingles_expr(k)).alias("sh"))
-        .filter(F.size("sh") > 0)
         .withColumn("sig", _minhash_sig_udf(n_hashes)(F.col("sh")))
     )
 
@@ -260,7 +304,8 @@ def minhash_lsh_pairs(
             F.expr(
                 f"transform(sequence(0, {n_bands - 1}), b -> "
                 f"named_struct('band_idx', b, 'band_key', "
-                f"md5(concat_ws('|', slice(sig, b * {r} + 1, {r})))))"
+                f"md5(concat_ws('|', transform(slice(sig, b * {r} + 1, {r}), "
+                f"x -> cast(x as string))))))"
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band_idx", "bk.band_key")
@@ -327,9 +372,11 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     Arrow-vectorized (interpreted Catalyst lambdas were ~10x slower) —
     hash bytes identical to the SQL twin, so the oracle is unchanged.
     """
+    # trim(text) <> '' == size(tokens) > 0, evaluated on the raw column
+    # so the tokenizer expression is not duplicated into the predicate
     return (
-        with_tokens(docs)
-        .filter(F.size("tokens") > 0)
+        docs.filter(F.trim("text") != "")
+        .transform(with_tokens)
         .select("doc_id", _simhash_udf(bits)(F.col("tokens")).alias("simhash"))
     )
 
@@ -417,10 +464,12 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
         f"transform(sequence(1, greatest(size(hs) - {w - 1}, 1)), "
         f"i -> array_min(slice(hs, i, {w})))"
     )
+    # size(hs) > 0 == size(tokens) >= k; filtering pre-UDF keeps empty
+    # docs out of the Arrow batches and off the predicate path entirely
     return (
         with_tokens(docs)
+        .filter(F.size("tokens") >= k)
         .withColumn("hs", _rolling_hash_udf(k)(F.col("tokens")))
-        .filter(F.size("hs") > 0)
         .select("doc_id", F.explode(F.expr(f"array_distinct({mins})")).alias("fp"))
     )
 
@@ -472,9 +521,11 @@ def quality(docs: DataFrame) -> DataFrame:
     avg_token_len, punct_ratio, stopword_ratio, quality_score).
     """
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    # trim(text) <> '' == size(tokens) > 0, without duplicating the
+    # tokenizer expression into the pushed-down predicate
     return (
-        with_tokens(docs)
-        .filter(F.size("tokens") > 0)
+        docs.filter(F.trim("text") != "")
+        .transform(with_tokens)
         .select(
             "doc_id",
             F.length("text").cast("bigint").alias("n_chars"),

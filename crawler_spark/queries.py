@@ -470,15 +470,28 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# DuckDB list literals of the md5-derived permutation coefficients —
+# the same constants the Arrow UDF uses (corpus.minhash_coeffs), so the
+# two engines compute identical signatures
+_MINHASH_A_SQL, _MINHASH_B_SQL = (
+    "[" + ", ".join(str(c) for c in cs) + "]"
+    for cs in corpus.minhash_coeffs(16)
+)
+
 ORACLE_MINHASH = f"""
 WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents),
 s AS (SELECT doc_id, {_DUCK_SHINGLES3} AS sh FROM t),
 s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+h AS (SELECT doc_id, sh,
+    list_transform(sh, x -> {duck_h64('x')} % {corpus.MINHASH_P}) AS hs
+  FROM s2),
 sig AS (
   SELECT doc_id, sh,
     list_transform(generate_series(0, 15), i ->
-      list_aggregate(list_transform(sh, x -> md5(cast(i as varchar) || ':' || x)), 'min')) AS sig
-  FROM s2),
+      list_aggregate(list_transform(hs, hx ->
+        ({_MINHASH_A_SQL}[i + 1] * hx + {_MINHASH_B_SQL}[i + 1])
+        % {corpus.MINHASH_P}), 'min')) AS sig
+  FROM h),
 bands AS (
   SELECT doc_id, g.b AS band_idx,
     md5(array_to_string(list_slice(sig, g.b * 2 + 1, g.b * 2 + 2), '|')) AS band_key
