@@ -149,6 +149,16 @@ class CrawlRun:
         # avoids a lineage-table read job per round; invalidated on
         # resume so the first round after a crash re-reads the durable row
         self._offsets_cache: dict[int, int] | None = None
+        # memoized input DataFrames (immutable parquet inputs): building
+        # them once avoids a file-listing + plan-construction cost per
+        # round
+        self._input_dfs: dict[str, DataFrame] = {}
+        # set after a round that scheduled nothing: the next round must
+        # verify pending emptiness with a real probe instead of trusting
+        # the manifest row-stat bound (see _pending_rows_bound)
+        self._force_probe = False
+        # lazily computed: does any seeded authority use post-fetch keys?
+        self._postfetch: bool | None = None
         # per-bloom-table (m_bits, conservative max items/shard) carry
         self._bloom_meta: dict[str, tuple[int, int]] = {}
 
@@ -174,14 +184,21 @@ class CrawlRun:
 
     # -- setup / resume -------------------------------------------------------
 
+    def _input_df(self, key: str, schema, path: str) -> DataFrame:
+        df = self._input_dfs.get(key)
+        if df is None:
+            df = self.spark.read.schema(schema).parquet(path)
+            self._input_dfs[key] = df
+        return df
+
     def seeds_df(self) -> DataFrame:
-        return self.spark.read.schema(S.SEEDS).parquet(self.seeds_path)
+        return self._input_df("seeds", S.SEEDS, self.seeds_path)
 
     def pages_df(self) -> DataFrame:
-        return self.spark.read.schema(S.PAGES).parquet(self.pages_path)
+        return self._input_df("pages", S.PAGES, self.pages_path)
 
     def robots_df(self) -> DataFrame:
-        return self.spark.read.schema(S.ROBOTS).parquet(self.robots_path)
+        return self._input_df("robots", S.ROBOTS, self.robots_path)
 
     def frontier_view(self) -> DataFrame:
         """The logical frontier of the north rule: pending ∪ done."""
@@ -254,6 +271,42 @@ class CrawlRun:
                 table.overwrite(df, note=f"rollback-to-{sid}")
         return last + 1
 
+    def _pending_rows_bound(self) -> int:
+        """Upper bound on visible pending rows from the manifest's part
+        row statistics — no Spark job.  sum(add-part rows) minus
+        sum(tombstone rows); tombstones are always derived from rows
+        read out of pending, so each deletes >= 1 add row."""
+        from .tables import _entry_rows
+
+        m = self.pending._manifest()
+        adds = sum(_entry_rows(e) or 0 for e in m["parts"])
+        tombs = sum(_entry_rows(e) or 0 for e in m["delete_parts"])
+        return adds - tombs
+
+    def _has_postfetch(self) -> bool:
+        """True iff any seeded authority defers X1 keying to the docpage
+        (registry ``title_at_docpage`` — slovenia's flow).  One tiny
+        distinct-collect per run, cached."""
+        if self._postfetch is None:
+            from .extract import REGISTRY
+
+            auths = [
+                r["authority"]
+                for r in self.seeds_df().select("authority").distinct().collect()
+            ]
+
+            def flag(a: str) -> bool:
+                prof = REGISTRY.get(a)
+                if prof is None and "_" in a:
+                    head, _, tail = a.rpartition("_")
+                    if tail.isdigit():
+                        prof = REGISTRY.get(head)
+                # unknown authority: keep the subplan (safe superset)
+                return True if prof is None else bool(prof.get("title_at_docpage"))
+
+            self._postfetch = any(flag(a) for a in auths)
+        return self._postfetch
+
     def _enqueued_total(self) -> int:
         """Total URLs ever enqueued (drives the Bloom activation
         threshold) — free from the in-memory offsets carry; one lineage
@@ -283,6 +336,19 @@ class CrawlRun:
             .agg(F.count("*").alias("n"))
             .collect()
         }
+
+    def _local_df(self, rows, schema) -> DataFrame:
+        """Single-partition DataFrame from driver-side rows.
+
+        ``createDataFrame(rows)`` lands on defaultParallelism partitions
+        (32 tiny files per commit), and ``.coalesce(1)`` on the Arrow
+        local relation costs ~4 s per write on Spark 4.1 (it defeats the
+        LocalTableScan fast path) — an explicit 1-slice parallelize is
+        both the fastest variant measured and one file per commit.
+        """
+        return self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(rows, 1), schema
+        )
 
     def _commit_lineage(
         self,
@@ -322,7 +388,7 @@ class CrawlRun:
             (round_id, *sids, pid, off, round_id, fetched, extracted)
             for pid, off in sorted(offsets.items())
         ] or [(round_id, *sids, 0, 0, round_id, fetched, extracted)]
-        df = self.spark.createDataFrame(
+        df = self._local_df(
             rows,
             "round_id long, frontier_snapshot string, done_snapshot string, "
             "seen_snapshot string, documents_snapshot string, "
@@ -388,10 +454,36 @@ class CrawlRun:
     def round(self, round_id: int) -> dict | None:
         """Run one micro-batch round; returns stats or None if frontier drained."""
         t0 = time.time()
+        # phase wall-clock breakdown (SPARK_GRAFT_ROUND_TIMING=1): the
+        # per-round fixed cost is the denominator of the whole-crawl
+        # bench at small fixtures, so keep it measurable for free
+        timing = os.environ.get("SPARK_GRAFT_ROUND_TIMING") == "1"
+        phases: dict[str, float] = {}
+        _last = [t0]
+
+        def tick(name: str) -> None:
+            if timing:
+                now = time.time()
+                phases[name] = round(now - _last[0], 3)
+                _last[0] = now
+
         spark = self.spark
         pending_df = self.pending.read(spark)
-        if pending_df.limit(1).count() == 0:
+        # manifest row statistics give an UPPER bound on visible pending
+        # rows with zero Spark jobs (every tombstone row came from a row
+        # scheduled out of pending, so it deletes at least one add row):
+        # bound <= 0 proves the frontier is drained; bound > 0 skips the
+        # per-round limit(1) probe job.  The one corner where the bound
+        # over-counts (a tombstone key shadowing a duplicate-keyed later
+        # add) is caught by _force_probe: a round that scheduled nothing
+        # makes the next round verify with a real probe.
+        if self._pending_rows_bound() <= 0:
             return None
+        if self._force_probe:
+            if pending_df.limit(1).count() == 0:
+                return None
+            self._force_probe = False
+        tick("read_pending")
 
         # 1. pending persists for the round: it feeds the salt plan, the
         #    pre-prune AND every membership probe against "all pending
@@ -448,10 +540,12 @@ class CrawlRun:
         scheduled = sched_all.persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        tick("plan_schedule")
         # count once: it both materializes the persist and gates the
         # broadcast hint (an unbounded round must degrade to a shuffle /
         # storage-partitioned join, not OOM the driver)
         n_sched = scheduled.count()
+        tick("schedule_count")
 
         # 3. fetch = equi-join vs pages (S3/S4).  The html column is the
         #    heavy payload: a plain left join would sort-merge-SHUFFLE the
@@ -505,6 +599,7 @@ class CrawlRun:
         scratch = os.path.join(self.state_dir, "scratch", f"round-{round_id}")
         out_raw.write.mode("overwrite").parquet(scratch)
         out_hits = spark.read.schema(EXTRACT_OUT).parquet(scratch)
+        tick("fetch_extract")
 
         # 4a. expansion: depth-0 listing children — URL-level dedupe
         #     (Pagination.add_item + page_list memo, P5): above the
@@ -545,21 +640,23 @@ class CrawlRun:
         # keys (depth 3 = EDPB alert-redirect pdf) ∪ title-less depth-1
         # children of post-fetch-keyed profiles (slovenia — admitted by
         # URL alone; X1 keying happens after their docpage fetch)
-        url_children = SN.dedupe_against_seen(
-            self._to_frontier_rows(children.filter(F.col("depth") == 0))
-            .unionByName(
-                self._to_frontier_rows(
-                    children.filter(F.col("depth") >= 2), keep_keys=True
-                )
+        url_kids = self._to_frontier_rows(
+            children.filter(F.col("depth") == 0)
+        ).unionByName(
+            self._to_frontier_rows(
+                children.filter(F.col("depth") >= 2), keep_keys=True
             )
-            .unionByName(
+        )
+        if self._has_postfetch():
+            url_kids = url_kids.unionByName(
                 self._to_frontier_rows(
                     children.filter(
                         (F.col("depth") == 1) & F.col("title").isNull()
                     )
                 )
             )
-            .dropDuplicates(["url_hash"]),
+        url_children = SN.dedupe_against_seen(
+            url_kids.dropDuplicates(["url_hash"]),
             enqueued_urls,
             url_bloom_state,
         )
@@ -607,24 +704,29 @@ class CrawlRun:
         # already in `seen` (prior rounds of this run = the reference's
         # repeated-folder overwrite collapsed to first-wins; prior runs =
         # P3 existing_docs) are skipped.  Probe-shaped anti-join: seen is
-        # scanned, never shuffled.
-        w_post = Window.partitionBy("doc_hash").orderBy("seq")
-        post = (
-            out_hits.filter(
-                (F.col("out_kind") == "doc")
-                & F.col("doc_hash").isNull()
-                & F.col("title").isNotNull()
+        # scanned, never shuffled.  The whole subplan (window + probe,
+        # re-evaluated inside both the documents and seen writes) is
+        # built only when a seeded authority actually defers keying to
+        # the docpage — only such profiles emit keyless titled doc rows.
+        post = None
+        if self._has_postfetch():
+            w_post = Window.partitionBy("doc_hash").orderBy("seq")
+            post = (
+                out_hits.filter(
+                    (F.col("out_kind") == "doc")
+                    & F.col("doc_hash").isNull()
+                    & F.col("title").isNotNull()
+                )
+                .withColumn("raw_hash", F.md5(F.encode(F.col("title"), "UTF-8")))
+                .withColumn("doc_hash", F.col("raw_hash"))
+                .withColumn("__rn", F.row_number().over(w_post))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
             )
-            .withColumn("raw_hash", F.md5(F.encode(F.col("title"), "UTF-8")))
-            .withColumn("doc_hash", F.col("raw_hash"))
-            .withColumn("__rn", F.row_number().over(w_post))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        post = SN.anti_join_probe(
-            post, self.seen.read(spark).select("doc_hash"), "doc_hash"
-        ).withColumn("final_key", F.col("doc_hash"))
-        docs = docs.unionByName(post)
+            post = SN.anti_join_probe(
+                post, self.seen.read(spark).select("doc_hash"), "doc_hash"
+            ).withColumn("final_key", F.col("doc_hash"))
+            docs = docs.unionByName(post)
         doc_rows = docs.select(
             F.col("final_key").alias("doc_hash"),
             "authority",
@@ -650,8 +752,13 @@ class CrawlRun:
                 & F.col("doc_hash").isNotNull()
             )
             .select("doc_hash", "raw_hash", "release_date", "seq")
-            .unionByName(post.select("doc_hash", "raw_hash", "release_date", "seq"))
-            .distinct()
+        )
+        if post is not None:
+            seen_delta = seen_delta.unionByName(
+                post.select("doc_hash", "raw_hash", "release_date", "seq")
+            )
+        seen_delta = (
+            seen_delta.distinct()
             .select(
                 F.xxhash64(F.col("doc_hash")).alias("url_hash"),
                 "doc_hash",
@@ -696,22 +803,28 @@ class CrawlRun:
         def _with_state(df: DataFrame, state: str) -> DataFrame:
             return df.withColumn("state", F.lit(state)).select(*fr_cols)
 
-        ok_rows = sched_out.filter(F.col("status") == "ok")
-        fail_rows = sched_out.filter(~F.col("status").isin("ok", "miss"))
-        miss_sched = sched_out.filter(F.col("status") == "miss")
         can_retry = F.col("retry_count") + 1 < F.lit(self.max_attempts)
+        is_miss = F.col("status") == "miss"
         repend_rows = _with_state(
-            miss_sched.filter(can_retry).withColumn(
+            sched_out.filter(is_miss & can_retry).withColumn(
                 "retry_count", F.col("retry_count") + 1
             ),
             "pending",
         )
-        done_delta = (
-            _with_state(ok_rows, "fetched")
-            .unionByName(_with_state(fail_rows, "failed"))
-            .unionByName(_with_state(miss_sched.filter(~can_retry), "failed"))
-            .unionByName(_with_state(denied, "failed"))
+        # one branch for all terminal scheduled rows (ok -> fetched,
+        # anything else -> failed) instead of a 3-way union — same rows,
+        # smaller plan
+        terminal = (
+            sched_out.filter(~(is_miss & can_retry))
+            .withColumn(
+                "state",
+                F.when(F.col("status") == "ok", F.lit("fetched")).otherwise(
+                    F.lit("failed")
+                ),
+            )
+            .select(*fr_cols)
         )
+        done_delta = terminal.unionByName(_with_state(denied, "failed"))
         tombstones = scheduled.select("url_hash", "retry_count").unionByName(
             denied.select("url_hash", "retry_count")
         )
@@ -792,8 +905,9 @@ class CrawlRun:
         from concurrent.futures import ThreadPoolExecutor
 
         note = f"round-{round_id}"
+        tick("plan_outputs")
         try:
-            with ThreadPoolExecutor(max_workers=6) as ex:
+            with ThreadPoolExecutor(max_workers=8) as ex:
                 # the metrics aggregation doubles as the round's doc
                 # count — one job, collected concurrently with the writes
                 f_met = ex.submit(met.collect)
@@ -808,11 +922,25 @@ class CrawlRun:
                 f_done = ex.submit(self.done.append, done_delta, note)
                 met_rows = f_met.result()
                 n_docs = int(sum(r["fetched"] for r in met_rows))
+                # metrics write + per-shard add counts join the same
+                # concurrent window as soon as their inputs exist —
+                # lineage alone stays strictly last
+                f_metrics = ex.submit(
+                    self.metrics.append, self._local_df(met_rows, S.METRICS), note
+                )
+                add_read = f_pend.result()
+                f_shards = ex.submit(
+                    self._shard_counts,
+                    add_read.filter(F.col("retry_count") == 0),
+                )
                 f_docs.result()
                 _, seen_read = f_seen.result()
                 f_log.result()
-                add_read = f_pend.result()
                 f_done.result()
+                delta_by_shard = f_shards.result()
+                f_metrics.result()
+            n_new = sum(delta_by_shard.values())
+            tick("commits")
             if bloom_active:
                 self._bloom_commit(
                     self.bloom,
@@ -822,14 +950,6 @@ class CrawlRun:
                     # n_docs >= distinct new seen keys; 2x for shard skew
                     est_new_per_shard=(2 * n_docs) // self.n_shards + 1,
                 )
-            # incremental lineage offsets: only genuinely-new rows count
-            # (re-pends carry retry_count > 0 and were counted at first
-            # enqueue); the same tiny collect feeds the url-Bloom sizing
-            delta_by_shard = self._shard_counts(
-                add_read.filter(F.col("retry_count") == 0)
-            )
-            n_new = sum(delta_by_shard.values())
-            if bloom_active:
                 self._bloom_commit(
                     self.url_bloom,
                     delta=add_read.select("url_hash"),
@@ -837,20 +957,20 @@ class CrawlRun:
                     note=note,
                     est_new_per_shard=max(delta_by_shard.values(), default=0) + 1,
                 )
-            self.metrics.append(
-                spark.createDataFrame(met_rows, S.METRICS), note=note
-            )
+            tick("blooms_shards")
             self._commit_lineage(
                 round_id, fetched=n_sched, extracted=n_docs,
                 delta_by_shard=delta_by_shard,
             )
+            self._force_probe = n_sched == 0
+            tick("metrics_lineage")
         finally:
             scheduled.unpersist()
             flagged.unpersist()
             pending_slim.unpersist()
             sched_out.unpersist()
             shutil.rmtree(scratch, ignore_errors=True)
-        return {
+        st = {
             "round": round_id,
             "scheduled": n_sched,
             "docs": n_docs,
@@ -858,6 +978,9 @@ class CrawlRun:
             "seen_delta": n_seen,
             "wall_s": time.time() - t0,
         }
+        if timing:
+            st["phases"] = phases
+        return st
 
     def _seen_for_p3(self) -> DataFrame:
         return self.seen.read(self.spark)

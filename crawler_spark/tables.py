@@ -135,11 +135,15 @@ class SnapshotTable:
         )
 
     def _new_entry(self, part: str) -> dict:
-        return {
+        entry = {
             "path": part,
             "seq": len(self.snapshots()),  # monotone per-commit sequence
             "rows": self._part_rows(part),
         }
+        # rows of the most recent part written — free manifest statistic
+        # for callers that need delta sizes without a count job
+        self.last_append_rows = entry["rows"]
+        return entry
 
     def append(self, df: DataFrame, note: str = "append") -> str:
         parts = list(self._current_parts())
@@ -239,24 +243,53 @@ class MorTable(SnapshotTable):
         m.setdefault("delete_parts", [])
         return m
 
+    def _add_schema(self) -> T.StructType:
+        return T.StructType(
+            list(self.schema.fields) + [T.StructField("__seq", T.LongType())]
+        )
+
+    def _del_schema(self) -> T.StructType:
+        return T.StructType(
+            list(self.delete_schema.fields) + [T.StructField("__tseq", T.LongType())]
+        )
+
     def _read_from(
         self, spark: SparkSession, parts: list, delete_parts: list
     ) -> DataFrame:
         if not parts:
             return spark.createDataFrame([], self.schema)
-        adds = None
-        for e in parts:
-            df = spark.read.schema(self.schema).parquet(
-                os.path.join(self.root, _entry_path(e))
-            ).withColumn("__seq", F.lit(_entry_seq(e)).cast("long"))
-            adds = df if adds is None else adds.unionByName(df)
-        if delete_parts:
-            tomb = None
-            for e in delete_parts:
-                t = spark.read.schema(self.delete_schema).parquet(
+        # fast path: every part stores its commit sequence number as a
+        # column (written by commit_delta), so the whole table is ONE
+        # multi-path parquet scan instead of an N-part union plan — the
+        # read cost stays O(1) in plan size as parts accumulate between
+        # compactions (the per-round MoR read is on the crawl's fixed-cost
+        # path).  Iceberg equivalent: data-sequence-number file metadata.
+        seqcol = all(isinstance(e, dict) and e.get("seqcol") for e in parts) and all(
+            isinstance(e, dict) and e.get("seqcol") for e in delete_parts
+        )
+        if seqcol:
+            adds = spark.read.schema(self._add_schema()).parquet(
+                *[os.path.join(self.root, _entry_path(e)) for e in parts]
+            )
+        else:
+            adds = None
+            for e in parts:
+                df = spark.read.schema(self.schema).parquet(
                     os.path.join(self.root, _entry_path(e))
-                ).withColumn("__tseq", F.lit(_entry_seq_del(e)).cast("long"))
-                tomb = t if tomb is None else tomb.unionByName(t)
+                ).withColumn("__seq", F.lit(_entry_seq(e)).cast("long"))
+                adds = df if adds is None else adds.unionByName(df)
+        if delete_parts:
+            if seqcol:
+                tomb = spark.read.schema(self._del_schema()).parquet(
+                    *[os.path.join(self.root, _entry_path(e)) for e in delete_parts]
+                )
+            else:
+                tomb = None
+                for e in delete_parts:
+                    t = spark.read.schema(self.delete_schema).parquet(
+                        os.path.join(self.root, _entry_path(e))
+                    ).withColumn("__tseq", F.lit(_entry_seq_del(e)).cast("long"))
+                    tomb = t if tomb is None else tomb.unionByName(t)
             r, t = adds.alias("r"), tomb.alias("t")
             cond = F.col("t.__tseq") > F.col("r.__seq")
             for k in self.delete_keys:
@@ -280,14 +313,25 @@ class MorTable(SnapshotTable):
         reuse the materialized delta without recomputing its DAG."""
         m = self._manifest()
         parts, dels = list(m["parts"]), list(m["delete_parts"])
+        seq = len(self.snapshots())  # this commit's sequence number
         add_path = None
         if adds is not None:
-            add_path = self._write_part(adds)
-            parts.append(self._new_entry(add_path))
-        if deletes is not None:
-            dels.append(
-                self._new_entry(self._write_part(deletes, schema=self.delete_schema))
+            add_path = self._write_part(
+                adds.withColumn("__seq", F.lit(seq).cast("long")),
+                schema=self._add_schema(),
             )
+            e = self._new_entry(add_path)
+            e["seqcol"] = True
+            parts.append(e)
+        if deletes is not None:
+            e = self._new_entry(
+                self._write_part(
+                    deletes.withColumn("__tseq", F.lit(seq).cast("long")),
+                    schema=self._del_schema(),
+                )
+            )
+            e["seqcol"] = True
+            dels.append(e)
         base_rows = sum(_entry_rows(e) or 0 for e in parts)
         tomb_rows = sum(_entry_rows(e) or 0 for e in dels)
         row_trigger = (
@@ -297,8 +341,13 @@ class MorTable(SnapshotTable):
         )
         if len(dels) >= self.compact_after or row_trigger:
             merged = self._read_from(spark, parts, dels)
-            compact_path = self._write_part(merged)
-            parts, dels = [self._new_entry(compact_path)], []
+            compact_path = self._write_part(
+                merged.withColumn("__seq", F.lit(seq).cast("long")),
+                schema=self._add_schema(),
+            )
+            e = self._new_entry(compact_path)
+            e["seqcol"] = True
+            parts, dels = [e], []
             note += "+compact"
         self._commit(parts, note, delete_parts=dels)
         if add_path is None:
