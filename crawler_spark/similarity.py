@@ -133,6 +133,42 @@ def lsh_topk(
     )
 
 
+def _kmeans_fit(x, k: int, seed: int, n_iter: int = 20):
+    """Seeded k-means++ init + Lloyd's iterations on a driver-side
+    sample (numpy).  Deterministic; ties in assignment break to the
+    lowest cell index (np.argmin), matching the distributed assignment
+    UDF in :func:`ivf_topk`."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(x)
+    if n == 0:
+        return np.zeros((k, 1), dtype=np.float64)
+    k = min(k, n)
+    # k-means++ seeding
+    cents = [x[rng.randint(n)]]
+    d2 = ((x - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        idx = rng.choice(n, p=probs) if probs is not None else rng.randint(n)
+        cents.append(x[idx])
+        d2 = np.minimum(d2, ((x - cents[-1]) ** 2).sum(axis=1))
+    cents = np.array(cents, dtype=np.float64)
+    for _ in range(n_iter):
+        sq = (cents * cents).sum(axis=1)
+        assign = np.argmin(sq[None, :] - 2.0 * (x @ cents.T), axis=1)
+        new = np.array(
+            [
+                x[assign == i].mean(axis=0) if (assign == i).any() else cents[i]
+                for i in range(k)
+            ]
+        )
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 5,
@@ -163,26 +199,51 @@ def ivf_topk(
     against the exact brute-force top-k instead.
     Output: (query_id, vec_id, rank:bigint, cosine).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
 
     base = with_norm(emb)
-    feats = base.withColumn(
-        "features", array_to_vector(F.col("embedding").cast("array<double>"))
-    )
-    cand_feats = feats.filter(F.col("vec_id") >= n_queries)
-    n_cand = cand_feats.count()
+    cand_raw = emb.filter(F.col("vec_id") >= n_queries)
+    # column-pruned count of the candidate side only sizes the sample
+    n_cand = cand_raw.select("vec_id").count()
     frac = min(1.0, max_fit_rows / max(n_cand, 1))
-    fit_df = cand_feats if frac >= 1.0 else cand_feats.sample(False, frac, seed)
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(fit_df)
-    assigned = model.transform(feats).withColumnRenamed("prediction", "cell")
+    fit_df = cand_raw if frac >= 1.0 else cand_raw.sample(False, frac, seed)
+    # The coarse quantizer fits on a sample CAPPED at max_fit_rows no
+    # matter the corpus size, so the fit is bounded driver-side work —
+    # the standard IVF training shape (train on a sample in one
+    # process, assign distributed).  A seeded numpy Lloyd's run replaces
+    # the round-1/2 pyspark.ml KMeans: the iterative fit paid ~20
+    # distributed job launches per call (4 s on a 2k-row table) for
+    # work that is milliseconds on the driver, and the numpy fit is
+    # bit-deterministic across cluster layouts, which Spark's
+    # distributed init is not.
+    sample = np.array(
+        [r["embedding"] for r in fit_df.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    centroids = _kmeans_fit(sample, k=n_lists, seed=seed)
+    cent_broadcast = emb.sparkSession.sparkContext.broadcast(centroids)
+
+    # no annotations: `from __future__ import annotations` stringifies
+    # hints, which pandas_udf cannot infer — returnType is explicit
+    @pandas_udf(IntegerType())
+    def nearest_cell(vecs):
+        cents = cent_broadcast.value  # (k, d)
+        sq = (cents * cents).sum(axis=1)  # |c|^2, (k,)
+        out = np.empty(len(vecs), dtype=np.int32)
+        mat = np.array(list(vecs), dtype=np.float64)  # (n, d)
+        # argmin_k |x - c_k|^2 = argmin_k (|c_k|^2 - 2 x.c_k)
+        d2 = sq[None, :] - 2.0 * (mat @ cents.T)
+        out[:] = np.argmin(d2, axis=1)
+        return pd.Series(out)
+
+    assigned = base.withColumn("cell", nearest_cell(F.col("embedding")))
 
     spark = emb.sparkSession
     cent_df = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ],
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, cvec array<double>",
     ).withColumn("cnorm", F.expr(NORM.format(a="cvec")))
 
