@@ -473,18 +473,34 @@ EN_MONTHS = (
 )
 _MONTHS_ALT = "|".join(EN_MONTHS)
 
-#: the four absolute forms the deterministic search recognizes — the
+#: the absolute forms the deterministic search recognizes — the
 #: reference uses ``dateparser.search_dates(STRICT_PARSING)`` plus
 #: AbsoluteDateSpecification (day AND month AND year present,
 #: absolute_date_specification.py:35-46); month-only or relative
-#: expressions never match these patterns.
+#: expressions never match these patterns.  Forms 5-6 cover dateparser's
+#: free-form English hits ("the 3rd of may, 2021", "may 3rd, 2021") —
+#: each requires the ordinal suffix so no sentence matches two forms.
 TIMELINE_FORMS = (
     # (pattern, day group, month group (numeric), month-name group, year group)
     (r"\b([0-9]{4})-([0-9]{2})-([0-9]{2})\b", 3, 2, None, 1),
     (r"\b([0-9]{1,2})-([0-9]{2})-([0-9]{4})\b", 1, 2, None, 3),
     (rf"\b([0-9]{{1,2}}) ({_MONTHS_ALT}) ([0-9]{{4}})\b", 1, None, 2, 3),
     (rf"\b({_MONTHS_ALT}) ([0-9]{{1,2}}), ([0-9]{{4}})\b", 2, None, 1, 3),
+    (
+        rf"\b([0-9]{{1,2}})(?:st|nd|rd|th) of ({_MONTHS_ALT}),? ([0-9]{{4}})\b",
+        1, None, 2, 3,
+    ),
+    (
+        rf"\b({_MONTHS_ALT}) ([0-9]{{1,2}})(?:st|nd|rd|th),? ([0-9]{{4}})\b",
+        2, None, 1, 3,
+    ),
 )
+
+#: slash-numeric form with dateparser's English resolution: MDY when the
+#: first number can be a month, else DMY fallback ("05/03/2021" -> 3 May
+#: read as May 3; "13/05/2021" -> 13 May).  Handled apart from
+#: TIMELINE_FORMS because day/month assignment is conditional.
+TIMELINE_FLEX_FORM = r"\b([0-9]{1,2})/([0-9]{1,2})/([0-9]{4})\b"
 
 
 def with_timeline_text(docs: DataFrame) -> DataFrame:
@@ -497,12 +513,24 @@ def with_timeline_text(docs: DataFrame) -> DataFrame:
     months = F.array(*[F.lit(x) for x in EN_MONTHS])
     mname = F.element_at(months, m)
     two = lambda c: F.lpad(c.cast("string"), 2, "0")
-    form = F.col("doc_id") % 4
+    suffix = (
+        F.when((dd % 10 == 1) & (dd != 11), F.lit("st"))
+        .when((dd % 10 == 2) & (dd != 12), F.lit("nd"))
+        .when((dd % 10 == 3) & (dd != 13), F.lit("rd"))
+        .otherwise(F.lit("th"))
+    )
+    dd_ord = F.concat(dd.cast("string"), suffix)
+    form = F.col("doc_id") % 7
     datestr = (
         F.when(form == 0, F.concat(y.cast("string"), F.lit("-"), two(m), F.lit("-"), two(dd)))
         .when(form == 1, F.concat(two(dd), F.lit("-"), two(m), F.lit("-"), y.cast("string")))
         .when(form == 2, F.concat(dd.cast("string"), F.lit(" "), mname, F.lit(" "), y.cast("string")))
-        .otherwise(F.concat(mname, F.lit(" "), dd.cast("string"), F.lit(", "), y.cast("string")))
+        .when(form == 3, F.concat(mname, F.lit(" "), dd.cast("string"), F.lit(", "), y.cast("string")))
+        # dateparser-style free-form hits: "the 3rd of may, 2021",
+        # "may 3rd, 2021", and MDY slash numerics
+        .when(form == 4, F.concat(F.lit("the "), dd_ord, F.lit(" of "), mname, F.lit(", "), y.cast("string")))
+        .when(form == 5, F.concat(mname, F.lit(" "), dd_ord, F.lit(", "), y.cast("string")))
+        .otherwise(F.concat(m.cast("string"), F.lit("/"), dd.cast("string"), F.lit("/"), y.cast("string")))
     )
     return docs.withColumn(
         "text",
@@ -515,13 +543,25 @@ def with_timeline_text(docs: DataFrame) -> DataFrame:
     )
 
 
+#: DuckDB twin of the ordinal-suffixed day in :func:`with_timeline_text`
+_DUCK_DD_ORD = (
+    "(cast(dd as varchar) || CASE"
+    " WHEN dd % 10 = 1 AND dd != 11 THEN 'st'"
+    " WHEN dd % 10 = 2 AND dd != 12 THEN 'nd'"
+    " WHEN dd % 10 = 3 AND dd != 13 THEN 'rd'"
+    " ELSE 'th' END)"
+)
+
 DUCK_TIMELINE_TEXT = (
     "text || '. The decision was issued on ' || "
-    "(CASE doc_id % 4 "
+    "(CASE doc_id % 7 "
     " WHEN 0 THEN cast(yy as varchar) || '-' || lpad(cast(mm as varchar),2,'0') || '-' || lpad(cast(dd as varchar),2,'0')"
     " WHEN 1 THEN lpad(cast(dd as varchar),2,'0') || '-' || lpad(cast(mm as varchar),2,'0') || '-' || cast(yy as varchar)"
     " WHEN 2 THEN cast(dd as varchar) || ' ' || mname || ' ' || cast(yy as varchar)"
-    " ELSE mname || ' ' || cast(dd as varchar) || ', ' || cast(yy as varchar) END)"
+    " WHEN 3 THEN mname || ' ' || cast(dd as varchar) || ', ' || cast(yy as varchar)"
+    f" WHEN 4 THEN 'the ' || {_DUCK_DD_ORD} || ' of ' || mname || ', ' || cast(yy as varchar)"
+    f" WHEN 5 THEN mname || ' ' || {_DUCK_DD_ORD} || ', ' || cast(yy as varchar)"
+    " ELSE cast(mm as varchar) || '/' || cast(dd as varchar) || '/' || cast(yy as varchar) END)"
     " || '. Proceedings opened in ' || mname || ' ' || cast(yy as varchar) || ' generally.'"
 )
 
@@ -530,7 +570,8 @@ def timeline_full(docs: DataFrame) -> DataFrame:
     """A5 with the reference's absolute-date semantics
     (timeline_metadata_service/__init__.py:8-41 + the day/month/year
     presence spec): per sentence, collect dates where day, month AND
-    year are explicitly present (four concrete forms replacing
+    year are explicitly present (seven concrete forms — incl. the
+    ordinal/"of"/slash free-forms dateparser finds — replacing
     dateparser's fuzzy search), emit dd/MM/yyyy strings (:31).
     Output: (doc_id, date_str, n).
     """
@@ -566,6 +607,30 @@ def timeline_full(docs: DataFrame) -> DataFrame:
                 ).alias("date_str"),
             )
         )
+    # slash-numeric flex form: MDY unless the first number exceeds 12
+    # (dateparser's English resolution), so day/month are conditional
+    flex_pat = TIMELINE_FLEX_FORM
+    flex_sql = flex_pat.replace("\\", "\\\\").replace("'", "''")
+    fm = sent.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(sent, '{flex_sql}', 0)")
+        ).alias("m"),
+    )
+    n1 = F.regexp_extract("m", flex_pat, 1).cast("int")
+    n2 = F.regexp_extract("m", flex_pat, 2).cast("int")
+    fyear = F.regexp_extract("m", flex_pat, 3)
+    fmonth = F.when(n1 <= 12, n1).otherwise(n2)
+    fday = F.when(n1 <= 12, n2).otherwise(n1)
+    parts.append(
+        fm.select(
+            "doc_id",
+            F.concat(
+                F.lpad(fday.cast("string"), 2, "0"), F.lit("/"),
+                F.lpad(fmonth.cast("string"), 2, "0"), F.lit("/"), fyear,
+            ).alias("date_str"),
+        )
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

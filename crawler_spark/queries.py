@@ -833,7 +833,8 @@ FROM d
 
 def q_timeline_full(spark, sf_dir):
     """A5 full semantics: per-sentence absolute-date search (day+month+
-    year all present; four concrete forms replacing dateparser's fuzzy
+    year all present; seven concrete forms — incl. ordinal/"of"/slash
+    free-forms like "the 3rd of may, 2021" — replacing dateparser's fuzzy
     search), dd/MM/yyyy output
     (timeline_metadata_service/__init__.py:8-41)."""
     return metadata.timeline_full(_t(spark, sf_dir, "documents"))
@@ -855,6 +856,20 @@ def _oracle_timeline_full() -> str:
             f" || '/' || regexp_extract(m, '{p}', {gy}) AS date_str"
             f" FROM (SELECT doc_id, unnest(regexp_extract_all(sent, '{p}', 0)) AS m FROM sents)"
         )
+    # slash-numeric flex form: MDY unless the first number exceeds 12
+    # (dateparser's English resolution) — mirrors metadata.timeline_full
+    fp = metadata.TIMELINE_FLEX_FORM.replace("'", "''")
+    form_selects.append(
+        f"SELECT doc_id,"
+        f" lpad(cast(CASE WHEN n1 <= 12 THEN n2 ELSE n1 END as varchar), 2, '0')"
+        f" || '/' || lpad(cast(CASE WHEN n1 <= 12 THEN n1 ELSE n2 END as varchar), 2, '0')"
+        f" || '/' || yr AS date_str"
+        f" FROM (SELECT doc_id,"
+        f"   cast(regexp_extract(m, '{fp}', 1) as int) AS n1,"
+        f"   cast(regexp_extract(m, '{fp}', 2) as int) AS n2,"
+        f"   regexp_extract(m, '{fp}', 3) AS yr"
+        f"  FROM (SELECT doc_id, unnest(regexp_extract_all(sent, '{fp}', 0)) AS m FROM sents))"
+    )
     union = " UNION ALL ".join(form_selects)
     return f"""
 WITH base AS (
