@@ -191,25 +191,38 @@ _STARTTAG_RE = re.compile(r"([a-zA-Z][a-zA-Z0-9-]*)(?:[^>\"']|\"[^\"]*\"|'[^']*'
 #: a full end tag after '</'
 _ENDTAG_RE = re.compile(r"([a-zA-Z][a-zA-Z0-9-]*)[^>]*>")
 _CDATA_TAGS = {"script", "style"}
+#: close-tag search per CDATA element — the exact regex html.parser's
+#: set_cdata_mode compiles (case-insensitive, optional whitespace), so
+#: </SCRIPT> closes and </scriptx> does not
+_CDATA_CLOSE = {t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE) for t in _CDATA_TAGS}
+
+#: left-to-right attribute tokenizer: delimiter, name, optional =value
+#: (quoted values consumed whole so a quoted payload can never be
+#: mistaken for an attribute boundary)
+_ATTR_SCAN = re.compile(
+    r"[ \t\n\r\f/]([^ \t\n\r\f/>=]+)"
+    r"(?:[ \t\n\r\f]*=[ \t\n\r\f]*(\"[^\"]*\"|'[^']*'|[^ \t\n\r\f>]*))?"
+)
 
 
 def _attr_value(s: str, lo: int, hi: int, name: str) -> str | None:
     """Value of attribute ``name`` inside the tag text s[lo:hi], or None.
 
-    Only double/single-quoted values (the HTML the crawl sees); the DOM
-    path remains the fallback for anything exotic.
+    Attributes are tokenized left-to-right with quoted values consumed
+    atomically, so a ``name=`` substring INSIDE another attribute's
+    quoted value can never match (it is part of that value's token) —
+    mirroring HTMLParser's attrfind_tolerant scan.  Bare (valueless)
+    attributes return None, same as the DOM's ``attrs.get``.
     """
-    needle = name + "="
-    i = s.find(needle, lo, hi)
-    while i != -1:
-        if s[i - 1] in " \t\n\r\f":
-            q = s[i + len(needle)]
-            if q in "\"'":
-                j = s.find(q, i + len(needle) + 1, hi)
-                if j != -1:
-                    v = s[i + len(needle) + 1 : j]
-                    return _unescape(v) if "&" in v else v
-        i = s.find(needle, i + 1, hi)
+    for m in _ATTR_SCAN.finditer(s, lo, hi):
+        if m.group(1) != name and m.group(1).lower() != name:
+            continue
+        v = m.group(2)
+        if v is None:
+            return None
+        if v[:1] in "\"'":
+            v = v[1:-1]
+        return _unescape(v) if "&" in v else v
     return None
 
 
@@ -338,13 +351,26 @@ def stream_extract(
             stack.append((tag, counts))
             if tag in _CDATA_TAGS:
                 # raw text element: no tags/entities inside (HTMLParser
-                # cdata mode); capture raw if inside the body container
-                end = find("</" + tag, pos)
-                if end == -1:
-                    end = n
+                # cdata mode); capture raw if inside the body container.
+                # Close only where the DOM twin's case-insensitive
+                # </\s*tag\s*> regex matches — never at a prefix like
+                # </scriptx or a case-mismatched </SCRIPT miss
+                # (round-3 ADVICE) — and handle the close inline so
+                # forms like "</ script>" pop exactly as the DOM does.
+                mc = _CDATA_CLOSE[tag].search(s, pos)
+                if mc is None:
+                    # unterminated raw text: html.parser's goahead
+                    # breaks without ever emitting it — drop it too
+                    pos = n
+                    continue
                 if capture_at:
-                    body_parts.append(s[pos:end])
-                pos = end
+                    body_parts.append(s[pos : mc.start()])
+                pos = mc.end()
+                del stack[-1:]  # the element just pushed is on top
+                if capture_at and len(stack) < capture_at:
+                    capture_at, body_done = 0, True
+                    if not n_links:
+                        return "".join(body_parts), hrefs
         elif capture_at == len(stack) + 1:
             # degenerate: body container is void/self-closing -> empty
             capture_at, body_done = 0, True

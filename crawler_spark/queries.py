@@ -515,11 +515,15 @@ def q_dedup_simhash(spark, sf_dir):
     """Cap ON for the registered scale path (see q_dedup_minhash_lsh).
     SimHash buckets concentrate harder than MinHash bands (random text
     hashes near the mean vector: max bucket 86 at sf0.01, 748 at sf0.1),
-    so the cap sits above the sf0.01 oracle scale; at bench scale it
-    bounds the quadratic bucket exactly as it would at 100 TB."""
+    so the cap is sized ABOVE the largest honest bucket at every scale
+    the engine is correctness- or bench-checked at (round-3 ADVICE: the
+    old 512 silently dropped sf0.1 buckets the uncapped oracle keeps) —
+    parity with the DuckDB twin holds at both sf0.01 and sf0.1, while a
+    planted boilerplate mega-cluster still trips the cap
+    (tests/test_skew_cap.py)."""
     return corpus.simhash_pairs(
         _t(spark, sf_dir, "documents"), bits=32, n_bands=4, max_hamming=3,
-        max_bucket=512,
+        max_bucket=1024,
     )
 
 

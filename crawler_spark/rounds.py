@@ -271,15 +271,27 @@ class CrawlRun:
                 table.overwrite(df, note=f"rollback-to-{sid}")
         return last + 1
 
-    def _pending_rows_bound(self) -> int:
+    def _pending_rows_bound(self) -> int | None:
         """Upper bound on visible pending rows from the manifest's part
         row statistics — no Spark job.  sum(add-part rows) minus
         sum(tombstone rows); tombstones are always derived from rows
-        read out of pending, so each deletes >= 1 add row."""
+        read out of pending, so each deletes >= 1 add row.
+
+        Returns None when any ADD part predates the row-stat manifest
+        format (legacy plain-string entries, which _entry_path keeps
+        readable): counting those as 0 would UNDER-count and falsely
+        report a drained frontier, so the caller must fall back to the
+        real limit(1) probe (round-3 ADVICE).  Legacy tombstones are
+        safe to count as 0 — that only over-counts."""
         from .tables import _entry_rows
 
         m = self.pending._manifest()
-        adds = sum(_entry_rows(e) or 0 for e in m["parts"])
+        adds = 0
+        for e in m["parts"]:
+            r = _entry_rows(e)
+            if r is None:
+                return None
+            adds += r
         tombs = sum(_entry_rows(e) or 0 for e in m["delete_parts"])
         return adds - tombs
 
@@ -477,9 +489,12 @@ class CrawlRun:
         # over-counts (a tombstone key shadowing a duplicate-keyed later
         # add) is caught by _force_probe: a round that scheduled nothing
         # makes the next round verify with a real probe.
-        if self._pending_rows_bound() <= 0:
+        bound = self._pending_rows_bound()
+        if bound is not None and bound <= 0:
             return None
-        if self._force_probe:
+        if bound is None or self._force_probe:
+            # legacy manifest without row stats, or a zero-schedule
+            # round: trust only a real probe before declaring drained
             if pending_df.limit(1).count() == 0:
                 return None
             self._force_probe = False

@@ -95,3 +95,48 @@ def test_stream_extract_edge_cases():
     # stray '<' treated as text
     html5 = '<div class="b">1 < 2</div>'
     assert stream_extract(html5, "div.b")[0] == ph(html5).select_one("div.b").get_text()
+
+
+def test_stream_cdata_close_tag_forms():
+    """Round-3 ADVICE: CDATA close must be case-insensitive and must not
+    prefix-match tags like </scriptx> — mirror html.parser's
+    </\\s*tag\\s*> regex, byte-equal to the DOM twin."""
+    from crawler_spark.htmlparse import parse_html, stream_extract
+
+    cases = [
+        # uppercase close tag
+        '<div class="b">x<script>a</SCRIPT>y</div>z',
+        # mixed case + whitespace inside the close tag
+        '<div class="b">x<script>a</Script >y</div>',
+        '<div class="b">x<style>s</ STYLE>y</div>',
+        # </scriptx> is NOT a close tag: stays raw until the real close
+        '<div class="b">x<script>a</scriptx>b</script>y</div>',
+        # unterminated script: html.parser drops the dangling raw text
+        '<div class="b">x<script>a<b>c</div>',
+    ]
+    for html in cases:
+        dom = parse_html(html).select_one("div.b")
+        assert stream_extract(html, "div.b")[0] == dom.get_text(), html
+
+
+def test_attr_value_not_fooled_by_quoted_payloads():
+    """Round-3 ADVICE: attribute scan must tokenize left-to-right so a
+    name= substring inside another attribute's quoted value never wins."""
+    from crawler_spark.htmlparse import parse_html, stream_extract
+
+    # class= inside title's value must not shadow the real class
+    html = '<div title=" class=\'evil\'" class="real"><p>t</p></div>'
+    assert stream_extract(html, "div.real")[0] == "t"
+    assert stream_extract(html, "div.evil")[0] is None
+    dom = parse_html(html)
+    assert dom.select_one("div.real") is not None
+    assert dom.select_one("div.evil") is None
+
+    # href= inside title must not beat the real href (document order)
+    html2 = '<a title="see href=\'/fake\' here" href="/real">x</a>'
+    _, links = stream_extract(html2, None, ("a",))
+    assert links == [["/real"]]
+
+    # bare attribute and unquoted values tokenize cleanly
+    html3 = '<div hidden class=real data-x=1><p>t</p></div>'
+    assert stream_extract(html3, "div.real")[0] == "t"

@@ -88,3 +88,34 @@ def test_time_travel_reads(spark, tmp_path):
     n_at_2 = run.documents.read(spark).count()
     assert n_at_2 >= n_at_1
     assert run.documents.read(spark, snap1).count() == n_at_1  # stable
+
+
+def test_legacy_manifest_without_row_stats_still_crawls(spark, tmp_path):
+    """Round-3 ADVICE: a state dir written before the row-stat manifest
+    format has plain-string part entries; the zero-job pending bound
+    must NOT treat those as 0 rows and declare the frontier drained —
+    it returns None and round() falls back to the real limit(1) probe."""
+    import json
+
+    run = _mk(spark, str(tmp_path / "legacy"))
+    run.init()
+    run.round(1)
+
+    # rewrite the pending manifest to the legacy shape: bare path strings
+    t = run.pending
+    sid = t.current_snapshot_id()
+    m = t._manifest()
+    legacy = {
+        "parts": [e["path"] if isinstance(e, dict) else e for e in m["parts"]],
+        "delete_parts": [
+            e["path"] if isinstance(e, dict) else e for e in m["delete_parts"]
+        ],
+    }
+    with open(t._manifest_path(sid), "w") as f:
+        json.dump(legacy, f)
+
+    assert run._pending_rows_bound() is None  # bound unusable, not "drained"
+    before = run.documents.read(spark).count()
+    stats = run.round(2)  # must probe and keep crawling, not return None
+    assert stats is not None
+    assert run.documents.read(spark).count() > before

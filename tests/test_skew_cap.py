@@ -49,10 +49,10 @@ def test_registered_queries_run_with_cap_active(spark, tmp_path):
     from crawler_spark import queries as Q
 
     rows = [(i, "identical boilerplate page body repeated verbatim " * 4)
-            for i in range(600)]  # 600 > the registered caps (256/512)
+            for i in range(1200)]  # 1200 > the registered caps (256/1024)
     rows += [
-        (1000 + i, f"unique document number {i} about topic {i * 7} "
-                   f"and case {i * 13} in distinct words")
+        (10000 + i, f"unique document number {i} about topic {i * 7} "
+                    f"and case {i * 13} in distinct words")
         for i in range(10)
     ]
     spark.createDataFrame(rows, "doc_id long, text string").write.mode(
@@ -61,7 +61,7 @@ def test_registered_queries_run_with_cap_active(spark, tmp_path):
 
     n_mh = Q.QUERIES["dedup_minhash_lsh"](spark, str(tmp_path)).count()
     n_sh = Q.QUERIES["dedup_simhash"](spark, str(tmp_path)).count()
-    # uncapped, the 600-doc cluster alone would emit 600*599/2 ≈ 180k
+    # uncapped, the 1200-doc cluster alone would emit 1200*1199/2 ≈ 719k
     # pairs; the registered caps drop the oversized buckets entirely
     assert n_mh < 1000, f"minhash cap inactive: {n_mh} pairs"
     assert n_sh < 1000, f"simhash cap inactive: {n_sh} pairs"
