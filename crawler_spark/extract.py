@@ -1158,25 +1158,34 @@ def ocr_pdf(content: bytes) -> str:
 def decode_pdf(content: bytes) -> str:
     """X3: pdfminer -> OCR fallback when the text layer is empty
     (pygdpr/services/pdf_to_text_service.py:26-60,83-88).  Here:
-    import-try pdfminer, else decode the deterministic fake container;
-    either way an empty result falls through to :func:`ocr_pdf`."""
+    import-try pdfminer first (full fidelity on a real cluster image),
+    else the stdlib minimal reader in :mod:`crawler_spark.pdfcodec`
+    (xref walk, Flate streams, Tj/TJ/T* text operators — the real-PDF
+    subset the fixtures carry), else the legacy fake container from
+    pre-round-4 state dirs.  The reference strips the extracted text
+    (pdf_to_text_service.py:85) and an empty result falls through to
+    :func:`ocr_pdf` exactly as its lines 86-88 do."""
     text = None
     try:  # pragma: no cover
         from pdfminer.high_level import extract_text as _pdf_extract
 
-        text = _pdf_extract(io.BytesIO(content)).strip()
+        text = _pdf_extract(io.BytesIO(content))
     except ImportError:
         pass
     if text is None:
         if content.startswith(FAKE_PDF_HEADER):
             text = content[len(FAKE_PDF_HEADER):].decode("utf-8")
+        elif content.startswith(b"%PDF-"):
+            from .pdfcodec import decode_pdf_min
+
+            text = decode_pdf_min(content)
         else:
             raise NotImplementedError(
-                "real PDF decoding requires pdfminer (not in sandbox)"
+                "not a PDF (and pdfminer absent for exotic containers)"
             )
     if not text.strip():
         return ocr_pdf(content)  # scanned pdf: no text layer
-    return text
+    return text.strip()
 
 
 def decode_docx(content: bytes) -> str:

@@ -37,7 +37,7 @@ from . import extract as X
 AS_OF = date(2024, 1, 15)  # frozen 'today' for the retention window (P1)
 # bump when fixture layout changes: fixture_dir() regenerates cached dirs
 # whose marker carries a different version
-FIXTURE_VERSION = "v5"
+FIXTURE_VERSION = "v6"
 CDN_HOST = "cdn.example.eu"
 HOSTS = {
     "austria": "www.dsb.gv.at",
@@ -328,6 +328,17 @@ def _make_docx(text: str) -> bytes:
         z.writestr("[Content_Types].xml", types)
         z.writestr("word/document.xml", doc)
     return buf.getvalue()
+
+
+def _make_pdf(payload: str) -> bytes:
+    """A REAL minimal PDF (xref table, WinAnsi Type1 font, Flate content
+    streams) carrying ``payload`` — the document format most reference
+    scrapers fetch (textract on .pdf); replaces the pre-round-4
+    %PDF-FAKE container.  Round-trips exactly through
+    extract.decode_pdf (tests/test_decoders.py)."""
+    from .pdfcodec import encode_pdf
+
+    return encode_pdf(payload)
 
 
 def _be_zip_bytes(a: str, p: int, i: int) -> bytes:
@@ -876,7 +887,7 @@ def generate(
                         content = _make_docx(payload)
                         gt = X.decode_docx(content)
                     else:
-                        content = X.FAKE_PDF_HEADER + payload.encode()
+                        content = _make_pdf(payload)
                         gt = payload
                     add(furl, content, gt if ground_truth else None, lang, off)
                     off += 1
@@ -885,7 +896,7 @@ def generate(
                     if i % 6 == 5:  # row without a pdf link, never fetched
                         continue
                     payload = _para_text(a, k, i, doc_pad_lines)
-                    content = X.FAKE_PDF_HEADER + payload.encode()
+                    content = _make_pdf(payload)
                     add(
                         lv_file_url(a, k, i), content,
                         payload if ground_truth else None, lang, off,
@@ -897,7 +908,7 @@ def generate(
                         payload = _para_text(a, k, i * 10 + j, doc_pad_lines)
                         add(
                             furl,
-                            X.FAKE_PDF_HEADER + payload.encode(),
+                            _make_pdf(payload),
                             payload if ground_truth else None,
                             lang,
                             off,
@@ -910,7 +921,7 @@ def generate(
                         content = _be_zip_bytes(a, k, i)
                     else:
                         payload = _para_text(a, k, i, doc_pad_lines)
-                        content = X.FAKE_PDF_HEADER + payload.encode()
+                        content = _make_pdf(payload)
                     gt = (
                         X.decode_file(furl, content) if ground_truth else None
                     )
@@ -933,7 +944,7 @@ def generate(
                     payload = _para_text(a, k, i, doc_pad_lines) + "\n[final pdf]"
                     add(
                         edpb_pdf_url(a, k, i),
-                        X.FAKE_PDF_HEADER + payload.encode(),
+                        _make_pdf(payload),
                         payload if ground_truth else None,
                         lang,
                         off,
@@ -957,7 +968,7 @@ def generate(
                         content = _make_rtf(payload)
                         gt = X.decode_rtf(content)
                     else:
-                        content = X.FAKE_PDF_HEADER + payload.encode()
+                        content = _make_pdf(payload)
                         gt = payload
                     add(furl, content, gt if ground_truth else None, lang, off)
                     off += 1
@@ -977,7 +988,7 @@ def generate(
                             content = _make_docx(payload)
                             gt = X.decode_docx(content)
                         else:
-                            content = X.FAKE_PDF_HEADER + payload.encode()
+                            content = _make_pdf(payload)
                             gt = payload
                         add(furl, content, gt if ground_truth else None, lang, off)
                         off += 1
@@ -992,7 +1003,7 @@ def generate(
                     payload = _para_text(a, k, i, doc_pad_lines) + "\n[apofasi pdf]"
                     add(
                         gr_file_url(a, k, i),
-                        X.FAKE_PDF_HEADER + payload.encode(),
+                        _make_pdf(payload),
                         payload if ground_truth else None, lang, off,
                     )
                     off += 1
@@ -1009,7 +1020,7 @@ def generate(
                         payload = _para_text(a, k, i) + f"\n[décision {j}]"
                         add(
                             lu_file_url(a, k, i, j),
-                            X.FAKE_PDF_HEADER + payload.encode(),
+                            _make_pdf(payload),
                             payload if ground_truth else None, lang, off,
                         )
                         off += 1
@@ -1032,7 +1043,7 @@ def generate(
                     )
                     add(
                         furl,
-                        X.FAKE_PDF_HEADER + payload.encode(),
+                        _make_pdf(payload),
                         payload,
                         lang,
                         off,

@@ -58,3 +58,66 @@ def test_rtf_decode_real_document():
         b"\\f0\\fs24 D\\'e9cision de la CNIL\\par Une amende de 50\\{00\\} EUR.}"
     )
     assert X.decode_rtf(rtf) == "Décision de la CNIL\nUne amende de 50{00} EUR."
+
+
+# -- X3 real minimal PDF codec (round-4: replaces the %PDF-FAKE default) ----
+
+
+def test_pdf_legacy_fake_container_still_decodes():
+    # pre-round-4 state dirs carry the fake container; keep it readable
+    assert X.decode_pdf(X.FAKE_PDF_HEADER + b"hello world") == "hello world"
+
+
+def test_pdf_real_roundtrip_single_page():
+    from crawler_spark.pdfcodec import encode_pdf
+
+    text = (
+        "Decision 1-2 of the france supervisory authority.\n"
+        "The controller processed personal data unlawfully (case 8dd14a3f).\n"
+        "  Article 5(1)(a) and Article 6 GDPR were infringed.\n"
+        "A fine of EUR 295154 was imposed."
+    )
+    pdf = encode_pdf(text)
+    assert pdf.startswith(b"%PDF-1.4") and b"/FlateDecode" in pdf
+    assert X.decode_pdf(pdf) == text
+
+
+def test_pdf_real_roundtrip_multipage_and_escapes():
+    from crawler_spark.pdfcodec import decode_pdf_min, encode_pdf
+
+    text = "\n".join(
+        [
+            "line with (parens) and \\ backslash",
+            "a",
+            "",  # empty line survives
+            "é décision naïve — em-dash",  # cp1252 bytes as octal escapes
+        ]
+        + [f"Paragraph {j}: filler for the multipage round trip {j * 7}" for j in range(120)]
+    )
+    pdf = encode_pdf(text, lines_per_page=48)
+    assert pdf.count(b"/Type /Page ") == 3  # really multi-page
+    assert decode_pdf_min(pdf) == text
+    assert X.decode_pdf(pdf) == text.strip()
+
+
+def test_pdf_uncompressed_and_damaged_xref_fallback():
+    from crawler_spark.pdfcodec import decode_pdf_min, encode_pdf
+
+    text = "no filter stream\nsecond line"
+    raw = encode_pdf(text, compress=False)
+    assert b"/Filter" not in raw
+    assert decode_pdf_min(raw) == text
+    # break the startxref pointer: the reader falls back to an object scan
+    assert decode_pdf_min(raw.replace(b"startxref", b"startxrEF")) == text
+
+
+def test_pdf_real_empty_text_layer_falls_through_to_ocr():
+    from crawler_spark.pdfcodec import encode_pdf
+
+    with pytest.raises(NotImplementedError, match="OCR fallback"):
+        X.decode_pdf(encode_pdf("   \n\t "))
+
+
+def test_pdf_garbage_rejected():
+    with pytest.raises(NotImplementedError):
+        X.decode_pdf(b"\x00\x01 not a pdf at all")
