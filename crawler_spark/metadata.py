@@ -107,32 +107,106 @@ def citations(docs: DataFrame) -> DataFrame:
 # tree -> chapter/section attach
 # ---------------------------------------------------------------------------
 
-#: Partial GDPR article validation tree: article -> {paragraph -> letters}.
-#: The reference ships the full structure as
-#: ``gdpr/assets/gdpr-article-validation-tree.json`` (consumed at
-#: ``valid_gdpr_article_ref_specification.py:4-38``); this embedded subset
-#: covers the commonly-cited articles and is the swap point for the full
-#: tree — validation semantics (art must exist; (art,par) and
-#: (art,par,let) must be in the tree) are identical.  Bare articles 1-99
-#: are always valid (every GDPR article is a tree key).
+#: COMPLETE GDPR article validation tree: article -> {paragraph ->
+#: letters}.  The structure of Regulation (EU) 2016/679 is public
+#: knowledge (its published text); the reference consumes the same
+#: structure from ``pygdpr/assets/gdpr-article-validation-tree.json``
+#: at ``valid_gdpr_article_ref_specification.py:4-38``.  Semantics
+#: mirrored exactly: a bare article 1-99 is always valid; (art, par) is
+#: valid iff par is a key under art; (art, par, let) iff let is a key
+#: under (art, par).  Articles whose JSON value is flat ``true`` (10,
+#: 16, 19, 29, 31, 44, 48, 59, 63, 67, 86, 87, 95, 96, 98 — single
+#: unnumbered provisions) have NO entry here, so any paragraph cite of
+#: them is invalid (the reference would raise AttributeError on
+#: ``True.keys()`` for those; the engine rejects instead of crashing).
+#: Article 50's lettered points hang directly off the article — encoded
+#: under the ``-1`` (no-paragraph) sentinel key, matching the
+#: reference's ``let in validation_tree[art].keys()`` branch.
 GDPR_TREE: dict[int, dict[int, str]] = {
+    1: {1: "", 2: "", 3: ""},
+    2: {1: "", 2: "abcd", 3: "", 4: ""},
+    3: {1: "", 2: "ab", 3: ""},
+    4: {1: "", 2: "", 3: "", 4: "", 5: "", 6: "", 7: "", 8: "", 9: "", 10: "", 11: "", 12: "", 13: "", 14: "", 15: "", 16: "ab", 17: "", 18: "", 19: "", 20: "", 21: "", 22: "abc", 23: "ab", 24: "", 25: "", 26: ""},
     5: {1: "abcdef", 2: ""},
     6: {1: "abcdef", 2: "", 3: "ab", 4: "abcde"},
     7: {1: "", 2: "", 3: "", 4: ""},
+    8: {1: "", 2: "", 3: ""},
     9: {1: "", 2: "abcdefghij", 3: "", 4: ""},
+    11: {1: "", 2: ""},
     12: {1: "", 2: "", 3: "", 4: "", 5: "ab", 6: "", 7: "", 8: ""},
     13: {1: "abcdef", 2: "abcdef", 3: "", 4: ""},
+    14: {1: "abcdef", 2: "abcdefg", 3: "abc", 4: "", 5: "abcd"},
     15: {1: "abcdefgh", 2: "", 3: "", 4: ""},
     17: {1: "abcdef", 2: "", 3: "abcde"},
+    18: {1: "abcd", 2: "", 3: ""},
+    20: {1: "ab", 2: "", 3: "", 4: ""},
     21: {1: "", 2: "", 3: "", 4: "", 5: "", 6: ""},
+    22: {1: "", 2: "abc", 3: "", 4: ""},
+    23: {1: "abcdefghij", 2: "abcdefgh"},
+    24: {1: "", 2: "", 3: ""},
     25: {1: "", 2: "", 3: ""},
+    26: {1: "", 2: "", 3: ""},
+    27: {1: "", 2: "ab", 3: "", 4: "", 5: ""},
     28: {1: "", 2: "", 3: "abcdefgh", 4: "", 5: "", 6: "", 7: "", 8: "", 9: "", 10: ""},
+    30: {1: "abcdefg", 2: "abcd", 3: "", 4: "", 5: ""},
     32: {1: "abcd", 2: "", 3: "", 4: ""},
     33: {1: "", 2: "", 3: "abcd", 4: "", 5: ""},
     34: {1: "", 2: "", 3: "abc", 4: ""},
-    35: {i: "" for i in range(1, 12)},
+    35: {1: "", 2: "", 3: "abc", 4: "", 5: "", 6: "", 7: "abcd", 8: "", 9: "", 10: "", 11: ""},
+    36: {1: "", 2: "", 3: "abcdef", 4: "", 5: ""},
+    37: {1: "abc", 2: "", 3: "", 4: "", 5: "", 6: "", 7: ""},
+    38: {1: "", 2: "", 3: "", 4: "", 5: "", 6: ""},
+    39: {1: "abcde", 2: ""},
+    40: {1: "", 2: "abcdefghijk", 3: "", 4: "", 5: "", 6: "", 7: "", 8: "", 9: "", 10: "", 11: ""},
+    41: {1: "", 2: "abcd", 3: "", 4: "", 5: "", 6: ""},
+    42: {1: "", 2: "", 3: "", 4: "", 5: "", 6: "", 7: "", 8: ""},
+    43: {1: "ab", 2: "abcde", 3: "", 4: "", 5: "", 6: "", 7: "", 8: "", 9: ""},
+    45: {1: "", 2: "abc", 3: "", 4: "", 5: "", 6: "", 7: "", 8: "", 9: ""},
+    46: {1: "", 2: "abcdef", 3: "ab", 4: "", 5: ""},
+    47: {1: "abc", 2: "abcdefghijklmn", 3: ""},
+    49: {1: "abcdefg", 2: "", 3: "", 4: "", 5: "", 6: ""},
+    50: {-1: "abcd"},
+    51: {1: "", 2: "", 3: "", 4: ""},
+    52: {1: "", 2: "", 3: "", 4: "", 5: "", 6: ""},
+    53: {1: "", 2: "", 3: "", 4: ""},
+    54: {1: "abcdef", 2: ""},
+    55: {1: "", 2: "", 3: ""},
+    56: {1: "", 2: "", 3: "", 4: "", 5: "", 6: ""},
+    57: {1: "abcdefghijklmnopqrstuv", 2: "", 3: "", 4: ""},
     58: {1: "abcdef", 2: "abcdefghij", 3: "abcdefghij", 4: "", 5: "", 6: ""},
-    83: {i: "" for i in range(1, 10)},
+    60: {1: "", 2: "", 3: "", 4: "", 5: "", 6: "", 7: "", 8: "", 9: "", 10: "", 11: "", 12: ""},
+    61: {1: "", 2: "", 3: "", 4: "ab", 5: "", 6: "", 7: "", 8: "", 9: ""},
+    62: {1: "", 2: "", 3: "", 4: "", 5: "", 6: "", 7: ""},
+    64: {1: "abcdef", 2: "", 3: "", 4: "", 5: "ab", 6: "", 7: "", 8: ""},
+    65: {1: "abc", 2: "", 3: "", 4: "", 5: "", 6: ""},
+    66: {1: "", 2: "", 3: "", 4: ""},
+    68: {1: "", 2: "", 3: "", 4: "", 5: "", 6: ""},
+    69: {1: "", 2: ""},
+    70: {1: "abcdefghijklmnopqrstuvwxy", 2: "", 3: "", 4: ""},
+    71: {1: "", 2: ""},
+    72: {1: "", 2: ""},
+    73: {1: "", 2: ""},
+    74: {1: "abc", 2: ""},
+    75: {1: "", 2: "", 3: "", 4: "", 5: "", 6: "abcdefg"},
+    76: {1: "", 2: ""},
+    77: {1: "", 2: ""},
+    78: {1: "", 2: "", 3: "", 4: ""},
+    79: {1: "", 2: ""},
+    80: {1: "", 2: ""},
+    81: {1: "", 2: "", 3: ""},
+    82: {1: "", 2: "", 3: "", 4: "", 5: "", 6: ""},
+    83: {1: "", 2: "abcdefghijk", 3: "", 4: "abc", 5: "abcde", 6: "", 7: "", 8: "", 9: ""},
+    84: {1: "", 2: ""},
+    85: {1: "", 2: "", 3: ""},
+    88: {1: "", 2: "", 3: ""},
+    89: {1: "", 2: "", 3: "", 4: ""},
+    90: {1: "", 2: ""},
+    91: {1: "", 2: ""},
+    92: {1: "", 2: "", 3: "", 4: "", 5: ""},
+    93: {1: "", 2: "", 3: ""},
+    94: {1: "", 2: ""},
+    97: {1: "", 2: "ab", 3: "", 4: "", 5: ""},
+    99: {1: "", 2: ""},
 }
 
 #: Chapter/section ranges — gdpr_chapter_section_service.py:1-29 (facts
@@ -150,11 +224,15 @@ GDPR_CHAPTERS: list[tuple[int, int | None, int, int]] = [
 def gdpr_tree_rows() -> list[tuple[int, int, str]]:
     """Validation tree flattened to (article, par|-1, letter|'-') rows —
     the broadcast-join dimension (null levels coalesced to sentinels so
-    the join is a plain equi-join on both engines)."""
+    the join is a plain equi-join on both engines).  The ``-1``
+    paragraph key carries article-level letters (art. 50's points):
+    those emit (art, -1, letter) rows only — the bare (art, -1, '-')
+    row already comes from the 1-99 range."""
     rows = [(a, -1, "-") for a in range(1, 100)]
     for art, pars in GDPR_TREE.items():
         for par, letters in pars.items():
-            rows.append((art, par, "-"))
+            if par != -1:
+                rows.append((art, par, "-"))
             rows.extend((art, par, l) for l in letters)
     return rows
 
@@ -190,6 +268,14 @@ def with_citation_text_full(docs: DataFrame) -> DataFrame:
     b2 = (F.col("doc_id") * 7 % 120 + 1).cast("string")
     p2 = (F.col("doc_id") % 11 + 1).cast("string")
     l2 = F.expr("chr(97 + cast(doc_id % 6 as int))")
+    # full-tree probes (round-3 VERDICT next #2): refs whose validity
+    # the OLD 18-article subset got wrong or never saw — 30(2)(c) valid
+    # (was rejected), 50(a..d) valid article-level letters / 50(e)
+    # invalid, 10(p) always invalid (flat article), 26(4) invalid while
+    # 26(1..3) valid
+    l50 = F.expr("chr(97 + cast(doc_id % 5 as int))")
+    p10 = (F.col("doc_id") % 3 + 1).cast("string")
+    p26 = (F.col("doc_id") % 4 + 1).cast("string")
     return docs.withColumn(
         "text",
         F.concat(
@@ -200,7 +286,11 @@ def with_citation_text_full(docs: DataFrame) -> DataFrame:
             F.lit(". Article "), a3, F.lit("(2) is discussed elsewhere"),
             F.lit(". Articles "), b1, F.lit(" and "), b2,
             F.lit("("), p2, F.lit(")("), l2,
-            F.lit(") under the GDPR framework apply."),
+            F.lit(") under the GDPR framework apply"),
+            F.lit(". Article 30(2)(c) and Article 50("), l50,
+            F.lit(") and Article 10("), p10,
+            F.lit(") and Article 26("), p26,
+            F.lit(") are assessed under the GDPR."),
         ),
     )
 
@@ -217,7 +307,12 @@ DUCK_CITATION_FULL_TEXT = (
     " || ' and ' || cast(doc_id * 7 % 120 + 1 as varchar)"
     " || '(' || cast(doc_id % 11 + 1 as varchar) || ')('"
     " || chr(97 + cast(doc_id % 6 as int))"
-    " || ') under the GDPR framework apply.'"
+    " || ') under the GDPR framework apply'"
+    " || '. Article 30(2)(c) and Article 50('"
+    " || chr(97 + cast(doc_id % 5 as int))"
+    " || ') and Article 10(' || cast(doc_id % 3 + 1 as varchar)"
+    " || ') and Article 26(' || cast(doc_id % 4 + 1 as varchar)"
+    " || ') are assessed under the GDPR.'"
 )
 
 
