@@ -673,8 +673,21 @@ HU_MONTHS = (
     "január", "február", "március", "április", "május", "június",
     "július", "augusztus", "szeptember", "október", "november", "december",
 )
+FR_MONTHS = (
+    "janvier", "février", "mars", "avril", "mai", "juin", "juillet",
+    "août", "septembre", "octobre", "novembre", "décembre",
+)
+ES_MONTHS = (
+    "enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
+    "agosto", "septiembre", "octubre", "noviembre", "diciembre",
+)
+DE_MONTHS = (  # lowercase: matching happens on lowered text
+    "januar", "februar", "märz", "april", "mai", "juni", "juli",
+    "august", "september", "oktober", "november", "dezember",
+)
 LOCALE_MONTHS: dict[str, tuple[str, ...]] = {
     "hr": HR_MONTHS, "pl": PL_MONTHS, "nl": NL_MONTHS, "hu": HU_MONTHS,
+    "fr": FR_MONTHS, "es": ES_MONTHS, "de": DE_MONTHS,
 }
 
 GDPR_DATE = date(2018, 5, 25)  # pygdpr/policies/gdpr_policy.py:3-5

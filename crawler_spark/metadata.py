@@ -597,6 +597,40 @@ TIMELINE_FORMS = (
 #: TIMELINE_FORMS because day/month assignment is conditional.
 TIMELINE_FLEX_FORM = r"\b([0-9]{1,2})/([0-9]{1,2})/([0-9]{4})\b"
 
+#: Locale month-name forms (round-3 VERDICT next #5): the reference's
+#: dateparser resolves "17 mai 2021" only when the doc's language is
+#: requested (``search_dates(..., languages=[lc])``,
+#: timeline_metadata_service/__init__.py:20-23), so each locale form is
+#: GATED on the document's ``lang`` column — reusing the X7
+#: LOCALE_MONTHS vocabulary (extract.py).  Names a locale shares with
+#: English (de: april/august/september/november) are dropped from the
+#: locale ALTERNATION — the always-active English form already resolves
+#: them to the same month number — so no date is ever double-counted.
+TIMELINE_LOCALE_MONTHS: dict[str, tuple[str, ...]] = {}
+
+
+def _init_timeline_locales() -> None:
+    from .extract import DE_MONTHS, ES_MONTHS, FR_MONTHS
+
+    TIMELINE_LOCALE_MONTHS.update(
+        {"fr": FR_MONTHS, "es": ES_MONTHS, "de": DE_MONTHS}
+    )
+
+
+_init_timeline_locales()
+
+#: numeric CJK date ("2021年5月17日") for zh docs — dateparser's zh
+#: locale recognizes this absolute form; no word boundaries (CJK has
+#: none).
+TIMELINE_ZH_FORM = r"([0-9]{4})年([0-9]{1,2})月([0-9]{1,2})日"
+
+
+def _locale_alt(lc: str) -> str:
+    """Regex alternation for a locale's month names minus EN overlaps."""
+    return "|".join(
+        m for m in TIMELINE_LOCALE_MONTHS[lc] if m not in EN_MONTHS
+    )
+
 
 def with_timeline_text(docs: DataFrame) -> DataFrame:
     """One absolute date per doc in a rotating form + a decoy that has
@@ -627,11 +661,33 @@ def with_timeline_text(docs: DataFrame) -> DataFrame:
         .when(form == 5, F.concat(mname, F.lit(" "), dd_ord, F.lit(", "), y.cast("string")))
         .otherwise(F.concat(m.cast("string"), F.lit("/"), dd.cast("string"), F.lit("/"), y.cast("string")))
     )
+    # locale sentence: docs in fr/es/de carry one extra absolute date in
+    # their own language's month names, zh docs the numeric CJK form —
+    # only the lang-gated locale form of timeline_full may resolve it
+    lang = F.col("lang") if "lang" in docs.columns else F.lit("en")
+    loc = F.lit(None).cast("string")
+    for lc, months_t in sorted(TIMELINE_LOCALE_MONTHS.items()):
+        arr = F.array(*[F.lit(x) for x in months_t])
+        loc = F.when(
+            lang == lc,
+            F.concat(dd.cast("string"), F.lit(" "), F.element_at(arr, m),
+                     F.lit(" "), y.cast("string")),
+        ).otherwise(loc)
+    loc = F.when(
+        lang == "zh",
+        F.concat(y.cast("string"), F.lit("年"), m.cast("string"),
+                 F.lit("月"), dd.cast("string"), F.lit("日")),
+    ).otherwise(loc)
+    extra = F.when(
+        loc.isNotNull(),
+        F.concat(F.lit(". Registered locally on "), loc),
+    ).otherwise(F.lit(""))
     return docs.withColumn(
         "text",
         F.concat(
             F.col("text"),
             F.lit(". The decision was issued on "), datestr,
+            extra,
             F.lit(". Proceedings opened in "), mname,
             F.lit(" "), y.cast("string"), F.lit(" generally."),
         ),
@@ -647,6 +703,24 @@ _DUCK_DD_ORD = (
     " ELSE 'th' END)"
 )
 
+def _duck_month_list(lc: str) -> str:
+    return "[" + ", ".join(f"'{m}'" for m in TIMELINE_LOCALE_MONTHS[lc]) + "]"
+
+
+_DUCK_LOCALE_EXTRA = (
+    "(CASE "
+    + " ".join(
+        f"WHEN lang = '{lc}' THEN '. Registered locally on '"
+        f" || cast(dd as varchar) || ' ' || list_extract({_duck_month_list(lc)}, mm)"
+        f" || ' ' || cast(yy as varchar)"
+        for lc in sorted(TIMELINE_LOCALE_MONTHS)
+    )
+    + " WHEN lang = 'zh' THEN '. Registered locally on '"
+    " || cast(yy as varchar) || '年' || cast(mm as varchar) || '月'"
+    " || cast(dd as varchar) || '日'"
+    " ELSE '' END)"
+)
+
 DUCK_TIMELINE_TEXT = (
     "text || '. The decision was issued on ' || "
     "(CASE doc_id % 7 "
@@ -657,6 +731,7 @@ DUCK_TIMELINE_TEXT = (
     f" WHEN 4 THEN 'the ' || {_DUCK_DD_ORD} || ' of ' || mname || ', ' || cast(yy as varchar)"
     f" WHEN 5 THEN mname || ' ' || {_DUCK_DD_ORD} || ', ' || cast(yy as varchar)"
     " ELSE cast(mm as varchar) || '/' || cast(dd as varchar) || '/' || cast(yy as varchar) END)"
+    f" || {_DUCK_LOCALE_EXTRA}"
     " || '. Proceedings opened in ' || mname || ' ' || cast(yy as varchar) || ' generally.'"
 )
 
@@ -671,8 +746,10 @@ def timeline_full(docs: DataFrame) -> DataFrame:
     Output: (doc_id, date_str, n).
     """
     d = with_timeline_text(docs)
+    lang = F.col("lang") if "lang" in d.columns else F.lit("en")
     sent = d.select(
         "doc_id",
+        lang.alias("lang"),
         F.explode(F.expr("split(lower(text), '[.!?] ')")).alias("sent"),
     )
     months = F.array(*[F.lit(x) for x in EN_MONTHS])
@@ -723,6 +800,51 @@ def timeline_full(docs: DataFrame) -> DataFrame:
             F.concat(
                 F.lpad(fday.cast("string"), 2, "0"), F.lit("/"),
                 F.lpad(fmonth.cast("string"), 2, "0"), F.lit("/"), fyear,
+            ).alias("date_str"),
+        )
+    )
+    # locale month-name forms, gated on the doc's language exactly like
+    # dateparser's languages=[lc]; month resolved against the FULL
+    # locale table (the alternation drops EN-shared names — those
+    # resolve through the always-active English form above)
+    for lc in sorted(TIMELINE_LOCALE_MONTHS):
+        lpat = rf"\b([0-9]{{1,2}}) ({_locale_alt(lc)}) ([0-9]{{4}})\b"
+        lsql = lpat.replace("\\", "\\\\").replace("'", "''")
+        larr = F.array(*[F.lit(x) for x in TIMELINE_LOCALE_MONTHS[lc]])
+        lm = sent.filter(F.col("lang") == lc).select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(sent, '{lsql}', 0)")
+            ).alias("m"),
+        )
+        parts.append(
+            lm.select(
+                "doc_id",
+                F.concat(
+                    F.lpad(F.regexp_extract("m", lpat, 1).cast("int").cast("string"), 2, "0"),
+                    F.lit("/"),
+                    F.lpad(
+                        F.array_position(larr, F.regexp_extract("m", lpat, 2))
+                        .cast("int").cast("string"), 2, "0",
+                    ),
+                    F.lit("/"), F.regexp_extract("m", lpat, 3),
+                ).alias("date_str"),
+            )
+        )
+    # numeric CJK form for zh docs
+    zsql = TIMELINE_ZH_FORM.replace("\\", "\\\\").replace("'", "''")
+    zm = sent.filter(F.col("lang") == "zh").select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(sent, '{zsql}', 0)")).alias("m"),
+    )
+    parts.append(
+        zm.select(
+            "doc_id",
+            F.concat(
+                F.lpad(F.regexp_extract("m", TIMELINE_ZH_FORM, 3).cast("int").cast("string"), 2, "0"),
+                F.lit("/"),
+                F.lpad(F.regexp_extract("m", TIMELINE_ZH_FORM, 2).cast("int").cast("string"), 2, "0"),
+                F.lit("/"), F.regexp_extract("m", TIMELINE_ZH_FORM, 1),
             ).alias("date_str"),
         )
     )

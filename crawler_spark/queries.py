@@ -874,19 +874,39 @@ def _oracle_timeline_full() -> str:
         f"   regexp_extract(m, '{fp}', 3) AS yr"
         f"  FROM (SELECT doc_id, unnest(regexp_extract_all(sent, '{fp}', 0)) AS m FROM sents))"
     )
+    # lang-gated locale month-name forms + the zh numeric form — the
+    # exact twins of metadata.timeline_full's locale parts
+    for lc in sorted(metadata.TIMELINE_LOCALE_MONTHS):
+        lp = rf"\b([0-9]{{1,2}}) ({metadata._locale_alt(lc)}) ([0-9]{{4}})\b".replace("'", "''")
+        lmonths = metadata._duck_month_list(lc)
+        form_selects.append(
+            f"SELECT doc_id, lpad(cast(cast(regexp_extract(m, '{lp}', 1) as int) as varchar), 2, '0')"
+            f" || '/' || lpad(cast(list_position({lmonths}, regexp_extract(m, '{lp}', 2)) as varchar), 2, '0')"
+            f" || '/' || regexp_extract(m, '{lp}', 3) AS date_str"
+            f" FROM (SELECT doc_id, unnest(regexp_extract_all(sent, '{lp}', 0)) AS m"
+            f"       FROM sents WHERE lang = '{lc}')"
+        )
+    zp = metadata.TIMELINE_ZH_FORM.replace("'", "''")
+    form_selects.append(
+        f"SELECT doc_id, lpad(cast(cast(regexp_extract(m, '{zp}', 3) as int) as varchar), 2, '0')"
+        f" || '/' || lpad(cast(cast(regexp_extract(m, '{zp}', 2) as int) as varchar), 2, '0')"
+        f" || '/' || regexp_extract(m, '{zp}', 1) AS date_str"
+        f" FROM (SELECT doc_id, unnest(regexp_extract_all(sent, '{zp}', 0)) AS m"
+        f"       FROM sents WHERE lang = 'zh')"
+    )
     union = " UNION ALL ".join(form_selects)
     return f"""
 WITH base AS (
   SELECT doc_id, cast(doc_id % 2000 as int) AS n FROM documents),
 parts AS (
-  SELECT d.doc_id, d.text, b.n,
+  SELECT d.doc_id, d.text, d.lang, b.n,
     cast(2018 + b.n // 365 as int) AS yy,
     cast(b.n % 12 + 1 as int) AS mm,
     cast(b.n % 28 + 1 as int) AS dd,
     list_extract({months}, cast(b.n % 12 + 1 as int)) AS mname
   FROM documents d JOIN base b USING (doc_id)),
-aug AS (SELECT doc_id, {metadata.DUCK_TIMELINE_TEXT} AS text FROM parts),
-sents AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[.!?] ')) AS sent FROM aug),
+aug AS (SELECT doc_id, lang, {metadata.DUCK_TIMELINE_TEXT} AS text FROM parts),
+sents AS (SELECT doc_id, lang, unnest(regexp_split_to_array(lower(text), '[.!?] ')) AS sent FROM aug),
 dates AS ({union})
 SELECT doc_id, date_str, cast(count(*) as bigint) AS n
 FROM dates GROUP BY doc_id, date_str
