@@ -76,3 +76,27 @@ def test_ivf_recall_vs_bruteforce(spark):
         ).collect()
     }
     assert ivf == ivf2
+
+
+def test_parquet_row_count_matches_scan(spark):
+    """Footer-only row count == full-scan count, and the hinted ivf_topk
+    (the registered-query shape, no pre-fit count job) returns the same
+    result as the hintless fallback."""
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    n = similarity.parquet_row_count(path)
+    assert n == emb.count()
+    hinted = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in similarity.ivf_topk(
+            emb, n_queries=5, k=5, n_lists=8, n_probe=4,
+            n_cand_hint=max(n - 5, 1),
+        ).collect()
+    }
+    plain = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in similarity.ivf_topk(
+            emb, n_queries=5, k=5, n_lists=8, n_probe=4
+        ).collect()
+    }
+    assert hinted == plain
