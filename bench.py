@@ -67,13 +67,23 @@ def crawl_profile(sf_dir: str) -> str:
     return {"sf0.1": "wide0.1", "sf0.01": "wide0.01"}.get(base, "wide0.01")
 
 
-def run_crawl(spark, sf_dir: str) -> tuple[float, int]:
+def crawl_profile_29(sf_dir: str) -> str:
+    """29-shape twin of crawl_profile (round-4 wide bench fixture):
+    every registry DOM shape + decode path at bench scale, reported
+    alongside the 5-shape number for round-over-round continuity."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return {"sf0.1": "wide29_0.1", "sf0.01": "wide29_0.01"}.get(
+        base, "wide29_0.01"
+    )
+
+
+def run_crawl(spark, sf_dir: str, profile: str | None = None) -> tuple[float, int]:
     from pyspark.sql import functions as F
 
     from crawler_spark import fixtures
     from crawler_spark.rounds import CrawlRun
 
-    fix = fixtures.fixture_dir(crawl_profile(sf_dir))
+    fix = fixtures.fixture_dir(profile or crawl_profile(sf_dir))
     run = CrawlRun(
         spark,
         state_dir=tempfile.mkdtemp(prefix="bench_crawl_"),
@@ -113,11 +123,17 @@ def main() -> None:
     total = 0.0
     urls_per_sec = None
 
+    urls_per_sec_29 = None
     if os.environ.get("SPARK_GRAFT_SKIP_CRAWL") != "1":
         wall, fetched = run_crawl(spark, sf_dir)
         per_query["crawl_e2e"] = round(wall, 3)
         total += wall
         urls_per_sec = round(fetched / wall, 2) if wall > 0 else None
+        # 29-shape wide fixture: full registry at bench scale
+        wall29, fetched29 = run_crawl(spark, sf_dir, crawl_profile_29(sf_dir))
+        per_query["crawl_e2e_29"] = round(wall29, 3)
+        total += wall29
+        urls_per_sec_29 = round(fetched29 / wall29, 2) if wall29 > 0 else None
 
     for name in names:
         fn = Q.QUERIES[name]
@@ -139,6 +155,8 @@ def main() -> None:
     }
     if urls_per_sec is not None:
         out["urls_per_sec"] = urls_per_sec
+    if urls_per_sec_29 is not None:
+        out["urls_per_sec_29"] = urls_per_sec_29
     print(json.dumps(out))
 
 

@@ -104,6 +104,15 @@ def wide_authorities(width: int) -> tuple[str, ...]:
     return tuple(f"{a}_{i}" for i in range(width) for a in base)
 
 
+def wide_all_authorities(width: int) -> tuple[str, ...]:
+    """width clones of ALL 29 registry shapes -> 29*width crawl chains.
+    The round-4 wide bench fixture (VERDICT next #3): exercises every
+    DOM shape, pagination style, and decode path (docx/zip/rtf/pdf) at
+    bench scale, so profile-specific perf pathologies show up as a
+    per-page cost gap vs the 5-shape wide profile."""
+    return tuple(f"{a}_{i}" for i in range(width) for a in BASE_AUTHORITIES)
+
+
 _BOILER_HEAD = (
     "<html><head><title>{t}</title></head><body>"
     "<nav>Home | About | Contact</nav>"
@@ -1105,6 +1114,15 @@ WIDE_PROFILES = {
     "wide0.1": (4, 20, 2, 40),     # ~20k urls, 200 hosts
 }
 
+# 29-shape wide profiles: every registry shape cloned `width` times —
+# sized to land near the matching 5-shape profile's URL count so the
+# two crawl_e2e numbers are comparable per page
+WIDE29_PROFILES = {
+    # name: (n_pages, n_items, n_files, width)
+    "wide29_0.01": (3, 10, 2, 2),   # 58 hosts
+    "wide29_0.1": (4, 20, 2, 7),    # 203 hosts
+}
+
 # scale profile: ONE massive micro-batch round (2500 hosts x 100 docs,
 # ~12 KB realistic decision pages, ~250k URLs) — the shape of a
 # production round at 10^10-frontier scale, where fetch/extract compute
@@ -1145,6 +1163,15 @@ def fixture_dir(profile: str = "sf0.01", root: str = "/tmp/crawler_spark_fixture
                 n_items=n_items,
                 n_files=n_files,
                 authorities=wide_authorities(width),
+            )
+        elif profile in WIDE29_PROFILES:
+            n_pages, n_items, n_files, width = WIDE29_PROFILES[profile]
+            generate(
+                out,
+                n_pages=n_pages,
+                n_items=n_items,
+                n_files=n_files,
+                authorities=wide_all_authorities(width),
             )
         else:
             n_pages, n_items, n_files = SF_PROFILES[profile]
