@@ -1302,6 +1302,27 @@ FROM documents
 """
 
 
+def q_multimodal_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG codec round-trip: synthesize genuine baseline
+    grayscale JPEGs (forward DCT + Annex-K Huffman entropy coding; one
+    per doc, doc_id-derived geometry + constant luma), then decode them
+    with the stdlib decoder (in-file Huffman/quant tables, entropy
+    decode, IDCT).  With quant step 8 a constant image reconstructs
+    exactly, so the oracle recomputes geometry/mean arithmetically — a
+    wrong decoder cannot pass."""
+    media = multimodal.synth_jpeg_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_jpeg_stats(media)
+
+
+ORACLE_MULTIMODAL_JPEG = """
+SELECT doc_id AS media_id,
+  cast(doc_id % 24 + 8 as bigint) AS width,
+  cast(doc_id % 16 + 8 as bigint) AS height,
+  round(cast(doc_id % 256 as double), 4) AS mean_luma
+FROM documents
+"""
+
+
 def q_multimodal_wav(spark, sf_dir):
     """REAL audio codec round-trip: mono 16-bit WAVs of constant
     amplitude, decoded via stdlib ``wave``; RMS of a constant signal
@@ -1422,6 +1443,7 @@ QUERIES = {
     "reachability": q_reachability,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_png": q_multimodal_png,
+    "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_wav": q_multimodal_wav,
     "citations": q_citations,
     "citations_full": q_citations_full,
@@ -1471,6 +1493,7 @@ ORACLES = {
     "locale_dates": ORACLE_LOCALE_DATES,
     "multimodal_decode": ORACLE_MULTIMODAL,
     "multimodal_png": ORACLE_MULTIMODAL_PNG,
+    "multimodal_jpeg": ORACLE_MULTIMODAL_JPEG,
     "multimodal_wav": ORACLE_MULTIMODAL_WAV,
     "citations": ORACLE_CITATIONS,
     "citations_full": ORACLE_CITATIONS_FULL,

@@ -106,6 +106,66 @@ def test_wav_codec_roundtrip():
     assert (n, rate, rms) == (57, 8000, 345.0)
 
 
+def test_jpeg_codec_constant_exact():
+    # quant step 8 keeps a constant block's DC exact through the full
+    # lossy pipeline; non-multiple-of-8 dims exercise padding + crop
+    for v in (0, 1, 57, 128, 200, 255):
+        data = multimodal.encode_jpeg([[v] * 13 for _ in range(11)])
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        w, h, mean = multimodal.decode_jpeg(data)
+        assert (w, h, mean) == (13, 11, float(v))
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_codec_gradient_matches_quant_model():
+    """Decoder output equals an independent FDCT->quant->dequant->IDCT
+    model computed straight from the spec (not via the codec), so the
+    Huffman entropy layer and the transform are both verified — and the
+    pipeline is genuinely lossy (decoded mean != original mean)."""
+    import math
+
+    pix = [[(x * 7 + y * 13) % 256 for x in range(19)] for y in range(10)]
+    c = [1 / math.sqrt(2)] + [1.0] * 7
+    cos = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+        for u in range(8)
+    ]
+    h, w = 10, 19
+    ph, pw = 16, 24
+    rows = [list(r) + [r[-1]] * (pw - w) for r in pix]
+    rows += [rows[-1][:]] * (ph - h)
+    total = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            F = [[0.0] * 8 for _ in range(8)]
+            for u in range(8):
+                for v in range(8):
+                    s = sum(
+                        (rows[by + y][bx + x] - 128) * cos[u][y] * cos[v][x]
+                        for y in range(8)
+                        for x in range(8)
+                    )
+                    F[u][v] = round(0.25 * c[u] * c[v] * s / 8) * 8
+            for y in range(8):
+                if by + y >= h:
+                    break
+                for x in range(8):
+                    if bx + x >= w:
+                        continue
+                    s = sum(
+                        c[u] * c[v] * F[u][v] * cos[u][y] * cos[v][x]
+                        for u in range(8)
+                        for v in range(8)
+                    )
+                    total += min(255, max(0, int(round(s * 0.25)) + 128))
+    expected = total / (w * h)
+    dw, dh, mean = multimodal.decode_jpeg(multimodal.encode_jpeg(pix))
+    assert (dw, dh) == (w, h)
+    assert abs(mean - expected) < 1e-9
+    assert mean != sum(map(sum, pix)) / (w * h)  # lossy for real
+
+
 def test_decode_stats_dispatches_real_codecs(spark):
     rows = [
         (1, "image", bytearray(multimodal.encode_png(12, 8, (9, 9, 9))), "image/png"),
