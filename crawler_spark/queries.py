@@ -1340,6 +1340,56 @@ FROM documents
 """
 
 
+def q_multimodal_video(spark, sf_dir):
+    """REAL video codec round-trip: synthesize genuine AVI/MJPEG files
+    (RIFF container, doc_id%6+2 constant-luma baseline-JPEG frames, one
+    per doc), then decode them — RIFF chunk walk, per-frame Huffman
+    entropy decode + IDCT — with the stdlib decoder.  Constant frames
+    reconstruct exactly under quant step 8, so the oracle recomputes
+    geometry, frame count, fps and the across-frames mean luma
+    arithmetically — a wrong container walk or frame decode cannot
+    pass."""
+    media = multimodal.synth_avi_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_video_stats(media)
+
+
+ORACLE_MULTIMODAL_VIDEO = """
+WITH fr AS (
+  SELECT doc_id, unnest(generate_series(0, doc_id % 6 + 1)) AS k
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  cast(doc_id % 24 + 8 as bigint) AS width,
+  cast(doc_id % 16 + 8 as bigint) AS height,
+  cast(doc_id % 6 + 2 as bigint) AS n_frames,
+  cast(doc_id % 5 + 5 as bigint) AS fps,
+  round(avg(cast((doc_id * 7 + 37 * k) % 256 as double)), 4) AS mean_luma
+FROM fr
+GROUP BY doc_id
+"""
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """REAL frame sampling over the AVI corpus: 1 video row in -> one
+    row per kept frame (every 2nd), each carrying the frame's REAL
+    decoded mean luma — the timestamp-stride sampling stage a training
+    pipeline runs over video, exercising the 1->N mapInPandas shape on
+    genuine pixel decode."""
+    media = multimodal.synth_avi_media(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_video_frames(media, every_n=2)
+
+
+ORACLE_VIDEO_FRAME_SAMPLE = """
+WITH fr AS (
+  SELECT doc_id, unnest(generate_series(0, doc_id % 6 + 1, 2)) AS k
+  FROM documents
+)
+SELECT doc_id AS media_id, cast(k as bigint) AS frame_idx,
+  round(cast((doc_id * 7 + 37 * k) % 256 as double), 4) AS frame_mean
+FROM fr
+"""
+
+
 ORACLE_MULTIMODAL = """
 SELECT doc_id AS media_id, 'doc' AS kind,
   cast(octet_length(encode(text)) as bigint) AS n_bytes,
@@ -1445,6 +1495,8 @@ QUERIES = {
     "multimodal_png": q_multimodal_png,
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_wav": q_multimodal_wav,
+    "multimodal_video": q_multimodal_video,
+    "video_frame_sample": q_video_frame_sample,
     "citations": q_citations,
     "citations_full": q_citations_full,
     "citation_count": q_citation_count,
@@ -1495,6 +1547,8 @@ ORACLES = {
     "multimodal_png": ORACLE_MULTIMODAL_PNG,
     "multimodal_jpeg": ORACLE_MULTIMODAL_JPEG,
     "multimodal_wav": ORACLE_MULTIMODAL_WAV,
+    "multimodal_video": ORACLE_MULTIMODAL_VIDEO,
+    "video_frame_sample": ORACLE_VIDEO_FRAME_SAMPLE,
     "citations": ORACLE_CITATIONS,
     "citations_full": ORACLE_CITATIONS_FULL,
     "citation_count": ORACLE_CITATION_COUNT,

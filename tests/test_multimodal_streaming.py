@@ -166,15 +166,76 @@ def test_jpeg_codec_gradient_matches_quant_model():
     assert mean != sum(map(sum, pix)) / (w * h)  # lossy for real
 
 
+def test_avi_codec_roundtrip_constant_frames():
+    # constant-luma frames survive quant step 8 exactly, so both the
+    # container fields AND every frame's pixel decode are exact
+    frames = [[[(7 + 37 * k) % 256] * 13 for _ in range(9)] for k in range(4)]
+    data = multimodal.encode_avi(frames, fps=8)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    w, h, n, fps, mean = multimodal.decode_avi(data)
+    assert (w, h, n, fps) == (13, 9, 4, 8)
+    assert mean == sum((7 + 37 * k) % 256 for k in range(4)) / 4
+    assert multimodal.decode_avi_frames(data) == [
+        (k, float((7 + 37 * k) % 256)) for k in range(4)
+    ]
+
+
+def test_avi_codec_rejects_non_avi_and_truncated_movi():
+    with pytest.raises(ValueError):
+        multimodal.decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        multimodal.decode_avi(b"\x00" * 32)
+    # header/movi frame-count cross-check: bump avih dwTotalFrames so the
+    # header claims 3 frames while movi carries 2
+    data = bytearray(multimodal.encode_avi([[[5] * 8] * 8] * 2, fps=10))
+    avih = data.find(b"avih") + 8  # chunk body start
+    assert data[avih + 16 : avih + 20] == (2).to_bytes(4, "little")
+    data[avih + 16 : avih + 20] = (3).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="frames"):
+        multimodal._avi_parse(bytes(data))
+    # and a non-MJPG video stream is refused outright
+    data2 = bytearray(multimodal.encode_avi([[[5] * 8] * 8] * 2, fps=10))
+    strh = data2.find(b"strh") + 8
+    assert data2[strh + 4 : strh + 8] == b"MJPG"
+    data2[strh + 4 : strh + 8] = b"H264"
+    with pytest.raises(ValueError, match="MJPG"):
+        multimodal._avi_parse(bytes(data2))
+
+
 def test_decode_stats_dispatches_real_codecs(spark):
     rows = [
         (1, "image", bytearray(multimodal.encode_png(12, 8, (9, 9, 9))), "image/png"),
         (2, "audio", bytearray(multimodal.encode_wav(33, 100)), "audio/wav"),
+        (3, "video", bytearray(multimodal.encode_avi([[[1] * 21] * 14] * 3)),
+         "video/x-msvideo"),
     ]
     df = spark.createDataFrame(rows, multimodal.MEDIA)
     got = {r["media_id"]: (r["width"], r["height"]) for r in multimodal.decode_stats(df).collect()}
     assert got[1] == (12, 8)  # real PNG geometry
     assert got[2] == (33, 8000)  # n_frames, framerate
+    assert got[3] == (21, 14)  # real AVI header + frame geometry
+
+
+def test_video_sample_frames_real_decode(spark):
+    from crawler_spark.queries import q_multimodal_video, q_video_frame_sample
+
+    stats = {
+        r["media_id"]: r
+        for r in q_multimodal_video(spark, SF).collect()
+    }
+    for did, r in stats.items():
+        n = did % 6 + 2
+        assert (r["width"], r["height"], r["n_frames"], r["fps"]) == (
+            did % 24 + 8, did % 16 + 8, n, did % 5 + 5
+        )
+        expect = sum((did * 7 + 37 * k) % 256 for k in range(n)) / n
+        assert abs(r["mean_luma"] - round(expect, 4)) < 1e-9
+    sampled = q_video_frame_sample(spark, SF).collect()
+    assert sampled and all(r["frame_idx"] % 2 == 0 for r in sampled)
+    for r in sampled:
+        assert r["frame_mean"] == float(
+            (r["media_id"] * 7 + 37 * r["frame_idx"]) % 256
+        )
 
 
 def test_stream_twin_equals_batch_twin(spark):
