@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "text_langid",
     "text_quality",
     "text_tokens",
+    "text_pii_scrub",
+    "contamination_check",
     "stopword_topk",
     "ann_cosine_topk",
     "ann_lsh",

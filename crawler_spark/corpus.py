@@ -574,3 +574,122 @@ def token_stats(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+#: conservative PII patterns, written in the common subset of Java regex
+#: (Spark) and RE2 (DuckDB): no backreferences, no lookaround, ASCII \b.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}[ -][0-9]{1,4}([ -][0-9]{2,4}){1,3}"
+PII_IP_RE = (
+    r"\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+    r"(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\b"
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / intl phone numbers / IPv4 addresses (the
+    training-data hygiene pass run before any corpus release).
+
+    All JVM-side built-ins — three ``regexp_extract_all`` counts over
+    the original text plus a sequential ``regexp_replace`` chain
+    (email -> phone -> ip; the patterns are anchor-disjoint so order
+    only matters for the replacement text, and both engines replace
+    globally).  One projection, no shuffle: at 100 TB this pins to the
+    scan and stays in whole-stage codegen.
+
+    Output: (doc_id, n_emails, n_phones, n_ips, scrubbed_len,
+    scrubbed_md5).  The md5 of the scrubbed text makes the redaction
+    byte-checkable without shipping the text.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        PII_IP_RE,
+        "[IP]",
+    )
+
+    def n(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint")
+
+    return docs.select(
+        "doc_id",
+        n(PII_EMAIL_RE).alias("n_emails"),
+        n(PII_PHONE_RE).alias("n_phones"),
+        n(PII_IP_RE).alias("n_ips"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check (k-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+
+def contamination(
+    docs: DataFrame, k: int = 3, bench_mod: int = 7
+) -> DataFrame:
+    """Per-document k-gram overlap against a benchmark document set —
+    the decontamination sweep a training pipeline runs before release
+    (count how many of a doc's distinct k-word shingles appear in any
+    benchmark doc other than itself).
+
+    The benchmark set here is ``doc_id % bench_mod == 0`` (a
+    deterministic stand-in for a curated eval suite); on a real corpus
+    the benchmark side is KB-MB scale (eval suites), so the grouped
+    benchmark shingle table is **broadcast** — the 100 TB side is a
+    single scan + map-side hash probe, no shuffle of the corpus.
+    Shingles travel as 60-bit md5-derived hashes (:func:`h64`), not
+    strings.
+
+    Self-matches are excluded without a second join: the benchmark agg
+    carries (n_bench_docs, min_bench_doc) per shingle, and a hit counts
+    iff the set contains a doc other than the probing one.
+
+    Output: (doc_id, n_ngrams, n_contaminated, contamination_ratio);
+    docs with fewer than k tokens have no shingles and drop out (the
+    synthetic corpus has none).
+    """
+    ng = (
+        with_tokens(docs)
+        .select(
+            "doc_id",
+            F.explode(F.expr(shingles_expr(k))).alias("gram"),
+        )
+        .select("doc_id", F.expr(h64("gram")).alias("gram_h"))
+    )
+    bench = (
+        ng.filter(F.col("doc_id") % bench_mod == 0)
+        .groupBy("gram_h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_b"),
+            F.min("doc_id").alias("b0"),
+        )
+    )
+    hit = F.col("n_b").isNotNull() & (
+        (F.col("n_b") > 1) | (F.col("b0") != F.col("doc_id"))
+    )
+    return (
+        ng.join(F.broadcast(bench), "gram_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(hit.cast("long")).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 4).alias(
+                "contamination_ratio"
+            ),
+        )
+    )

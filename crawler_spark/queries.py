@@ -627,6 +627,99 @@ FROM documents
 """
 
 
+def _pii_augmented(spark, sf_dir):
+    """documents with deterministic PII planted per doc (the synthetic
+    corpus has none): an email, an intl phone and an IPv4, all derived
+    from doc_id with the SAME arithmetic in the DuckDB oracle."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org or +43 1 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" 555 at 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Training-data hygiene pass: count + redact emails/phones/IPs in
+    one whole-stage-codegen projection (corpus.pii_scrub); the oracle
+    recomputes counts, the scrubbed length AND the scrubbed md5, so a
+    single mis-redacted byte fails the gate."""
+    return corpus.pii_scrub(_pii_augmented(spark, sf_dir))
+
+
+_DUCK_PII_AUG = (
+    "SELECT doc_id, text || ' Contact: user' || cast(doc_id as varchar)"
+    " || '@example.org or +43 1 '"
+    " || lpad(cast(doc_id % 10000 as varchar), 4, '0')"
+    " || ' 555 at 192.168.' || cast(doc_id % 256 as varchar)"
+    " || '.' || cast((doc_id * 7) % 256 as varchar) AS text"
+    " FROM documents"
+)
+
+ORACLE_PII_SCRUB = (
+    "WITH aug AS (" + _DUCK_PII_AUG + "),\n"
+    "s AS (SELECT doc_id, text,\n"
+    "  regexp_replace(regexp_replace(regexp_replace(text,\n"
+    "    '" + corpus.PII_EMAIL_RE + "', '[EMAIL]', 'g'),\n"
+    "    '" + corpus.PII_PHONE_RE + "', '[PHONE]', 'g'),\n"
+    "    '" + corpus.PII_IP_RE + "', '[IP]', 'g') AS scrubbed FROM aug)\n"
+    "SELECT doc_id,\n"
+    "  cast(len(regexp_extract_all(text, '" + corpus.PII_EMAIL_RE + "')) as bigint) AS n_emails,\n"
+    "  cast(len(regexp_extract_all(text, '" + corpus.PII_PHONE_RE + "')) as bigint) AS n_phones,\n"
+    "  cast(len(regexp_extract_all(text, '" + corpus.PII_IP_RE + "')) as bigint) AS n_ips,\n"
+    "  cast(length(scrubbed) as bigint) AS scrubbed_len,\n"
+    "  md5(scrubbed) AS scrubbed_md5\n"
+    "FROM s"
+)
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination sweep: distinct 3-gram overlap of every
+    doc against the benchmark set (doc_id %% 7 == 0), benchmark side
+    broadcast (eval suites are KB-MB at any corpus scale), corpus side
+    one scan + map-side probe.  k=3 because the synthetic corpus draws
+    from a ~30-word vocabulary; production sweeps use k=8-13 via the
+    same operator."""
+    return corpus.contamination(
+        _t(spark, sf_dir, "documents"), k=3, bench_mod=7
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH tok AS (SELECT doc_id, {DUCK_TOKENS} AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(list_slice(w, k, k + 2), ' ') AS gram
+  FROM tok, unnest(generate_series(1, len(w) - 2)) AS t(k)
+  WHERE len(w) >= 3
+),
+ng AS (SELECT doc_id, {duck_h64("gram")} AS gram_h FROM g),
+bench AS (
+  SELECT gram_h, count(DISTINCT doc_id) AS n_b, min(doc_id) AS b0
+  FROM ng WHERE doc_id % 7 = 0 GROUP BY gram_h
+)
+SELECT ng.doc_id,
+  cast(count(*) as bigint) AS n_ngrams,
+  cast(sum(CASE WHEN b.gram_h IS NOT NULL
+                 AND (b.n_b > 1 OR b.b0 <> ng.doc_id)
+            THEN 1 ELSE 0 END) as bigint) AS n_contaminated,
+  round(cast(sum(CASE WHEN b.gram_h IS NOT NULL
+                       AND (b.n_b > 1 OR b.b0 <> ng.doc_id)
+                  THEN 1 ELSE 0 END) as double) / count(*), 4)
+    AS contamination_ratio
+FROM ng LEFT JOIN bench b USING (gram_h)
+GROUP BY ng.doc_id
+"""
+
+
 def q_doc_statistics(spark, sf_dir):
     """A1 statistics + A8 read time (SURVEY.md §2.5), pure projection."""
     docs = corpus.with_tokens(_t(spark, sf_dir, "documents"))
@@ -1482,6 +1575,8 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
+    "text_pii_scrub": q_pii_scrub,
+    "contamination_check": q_contamination,
     "doc_statistics": q_doc_statistics,
     "stopword_topk": q_stopword_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1536,6 +1631,8 @@ ORACLES = {
     "text_langid": ORACLE_LANGID,
     "text_quality": ORACLE_QUALITY,
     "text_tokens": ORACLE_TOKENS,
+    "text_pii_scrub": ORACLE_PII_SCRUB,
+    "contamination_check": ORACLE_CONTAMINATION,
     "doc_statistics": ORACLE_DOC_STATS,
     "stopword_topk": ORACLE_STOPWORDS,
     "ann_cosine_topk": ORACLE_ANN_BRUTE,

@@ -86,3 +86,43 @@ def test_lang_id_and_quality(spark):
     ts = {r["doc_id"]: r for r in corpus.token_stats(df).collect()}
     assert ts[0]["ws_tokens"] == 13
     assert ts[0]["bpe_tokens"] == 13  # no punctuation -> equal counts
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = [
+        (0, "mail a@b.org then call +43 1 234 5678 from 10.0.0.1 ok"),
+        # negatives: bare @, phone without +, octet > 255 is not an IP
+        (1, "not@an email@ at 999.1.1.300 phone 01 234 5678 v1.2.3.4x"),
+        (2, "two bob@x.co and eve@y.net plus +1 800 555 0100 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in corpus.pii_scrub(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_phones"], got[0]["n_ips"]) == (1, 1, 1)
+    assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ips"]) == (2, 1, 0)
+    assert got[1]["n_phones"] == 0 and got[1]["n_ips"] == 0
+    # redaction is positional: scrubbed text of doc 0 is fully masked
+    import hashlib
+    expect0 = "mail [EMAIL] then call [PHONE] from [IP] ok"
+    assert got[0]["scrubbed_len"] == len(expect0)
+    assert got[0]["scrubbed_md5"] == hashlib.md5(expect0.encode()).hexdigest()
+
+
+def test_contamination_overlap_and_self_exclusion(spark):
+    bench_passage = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, bench_passage + " zeta"),          # benchmark doc (0 % 7 == 0)
+        (7, "unrelated words only here now"),  # benchmark doc, disjoint
+        (1, "prefix alpha beta gamma delta epsilon suffix"),  # contaminated
+        (2, "totally different text with no overlap at all"),
+        (3, "alpha beta gamma"),               # exactly one 3-gram hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in corpus.contamination(df, k=3, bench_mod=7).collect()}
+    # doc 1: shares the 3 shingles of the passage windowed at k=3
+    assert got[1]["n_contaminated"] == 3 and got[1]["n_ngrams"] == 5
+    assert got[2]["n_contaminated"] == 0
+    assert got[3]["n_contaminated"] == 1 and got[3]["n_ngrams"] == 1
+    assert got[3]["contamination_ratio"] == 1.0
+    # benchmark docs do not count THEIR OWN shingles as contamination
+    assert got[0]["n_contaminated"] == 0
+    assert got[7]["n_contaminated"] == 0
