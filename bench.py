@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "text_tokens",
     "text_pii_scrub",
     "contamination_check",
+    "sample_stratified",
+    "shard_pack",
     "stopword_topk",
     "ann_cosine_topk",
     "ann_lsh",

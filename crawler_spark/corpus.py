@@ -693,3 +693,92 @@ def contamination(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + token-budget shard packing (corpus curation)
+# ---------------------------------------------------------------------------
+
+
+def sample_stratified(
+    docs: DataFrame, k: int = 10, strata_col: str = "lang"
+) -> DataFrame:
+    """Exact-k-per-stratum deterministic sample (the reproducible
+    alternative to ``sampleBy``: re-running on the same corpus always
+    selects the same docs, and adding documents never evicts more than
+    the hash order implies).
+
+    Rank within each stratum by a 60-bit md5-derived hash of doc_id
+    (h64 — identical in DuckDB), tie-broken by doc_id, keep rank <= k.
+    The ``rank <= k`` filter triggers Catalyst's InferWindowGroupLimit,
+    so each map task keeps only its local top-k per stratum BEFORE the
+    shuffle — at 100 TB the exchange moves O(partitions x strata x k)
+    rows, not the corpus.
+
+    Output: (strata, doc_id, sample_rank).
+    """
+    w = Window.partitionBy("strata").orderBy("__h", "doc_id")
+    return (
+        docs.select(
+            F.col(strata_col).alias("strata"),
+            "doc_id",
+            F.expr(h64("cast(doc_id as string)")).alias("__h"),
+        )
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__h")
+    )
+
+
+def shard_pack(docs: DataFrame, tokens_per_shard: int = 4096) -> DataFrame:
+    """Pack the corpus into fixed-token-budget training shards: each doc
+    is assigned the shard where its running token offset lands (docs may
+    straddle a boundary — the standard streaming-pack approximation;
+    exact bin packing is inherently sequential).
+
+    The running sum is a distributed prefix sum, NOT a single-reducer
+    global window (same shape as crawl_order_replay's total order):
+    range-partition by doc_id, per-partition token subtotals prefix-sum
+    into offsets on P rows (one per partition), then an in-partition
+    running sum plus the broadcast offset.  Scales with partitions; no
+    stage ever sees the corpus in one task.
+
+    Output: (doc_id, n_tokens, shard_id, shard_offset).
+    """
+    spark = docs.sparkSession
+    P = spark.sparkContext.defaultParallelism
+    d = with_tokens(docs).select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    parts = (
+        d.repartitionByRange(P, "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parts.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("__t"))
+        .withColumn("__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0)))
+        .drop("__t")
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev = (F.sum("n_tokens").over(w_in) + F.col("__off")) - F.col("n_tokens")
+    return (
+        parts.join(F.broadcast(offsets), "__pid")
+        .withColumn("__prev", prev)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"__prev div {int(tokens_per_shard)}")
+            .cast("bigint")
+            .alias("shard_id"),
+            (F.col("__prev") % tokens_per_shard)
+            .cast("bigint")
+            .alias("shard_offset"),
+        )
+    )

@@ -720,6 +720,53 @@ GROUP BY ng.doc_id
 """
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic exact-k-per-stratum sample over documents.lang
+    (corpus.sample_stratified): hash-ranked so re-runs reproduce the
+    same sample; rank<=k triggers Catalyst's window-group-limit so map
+    tasks pre-prune to their local top-k before the shuffle."""
+    return corpus.sample_stratified(
+        _t(spark, sf_dir, "documents"), k=10, strata_col="lang"
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+WITH r AS (
+  SELECT lang AS strata, doc_id,
+    cast(row_number() OVER (
+      PARTITION BY lang
+      ORDER BY {duck_h64("cast(doc_id as varchar)")}, doc_id
+    ) as bigint) AS sample_rank
+  FROM documents)
+SELECT strata, doc_id, sample_rank FROM r WHERE sample_rank <= 10
+"""
+
+
+def q_shard_pack(spark, sf_dir):
+    """Token-budget shard packing via a distributed prefix sum
+    (corpus.shard_pack) — no single-reducer global window; the oracle
+    is the plain ordered running sum."""
+    return corpus.shard_pack(
+        _t(spark, sf_dir, "documents"), tokens_per_shard=4096
+    )
+
+
+ORACLE_SHARD_PACK = f"""
+WITH t AS (
+  SELECT doc_id, cast(len({DUCK_TOKENS}) as bigint) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      - n_tokens AS prev
+  FROM t)
+SELECT doc_id, n_tokens,
+  cast(prev // 4096 as bigint) AS shard_id,
+  cast(prev % 4096 as bigint) AS shard_offset
+FROM c
+"""
+
+
 def q_doc_statistics(spark, sf_dir):
     """A1 statistics + A8 read time (SURVEY.md §2.5), pure projection."""
     docs = corpus.with_tokens(_t(spark, sf_dir, "documents"))
@@ -1577,6 +1624,8 @@ QUERIES = {
     "text_tokens": q_text_tokens,
     "text_pii_scrub": q_pii_scrub,
     "contamination_check": q_contamination,
+    "sample_stratified": q_sample_stratified,
+    "shard_pack": q_shard_pack,
     "doc_statistics": q_doc_statistics,
     "stopword_topk": q_stopword_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1633,6 +1682,8 @@ ORACLES = {
     "text_tokens": ORACLE_TOKENS,
     "text_pii_scrub": ORACLE_PII_SCRUB,
     "contamination_check": ORACLE_CONTAMINATION,
+    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "shard_pack": ORACLE_SHARD_PACK,
     "doc_statistics": ORACLE_DOC_STATS,
     "stopword_topk": ORACLE_STOPWORDS,
     "ann_cosine_topk": ORACLE_ANN_BRUTE,

@@ -126,3 +126,34 @@ def test_contamination_overlap_and_self_exclusion(spark):
     # benchmark docs do not count THEIR OWN shingles as contamination
     assert got[0]["n_contaminated"] == 0
     assert got[7]["n_contaminated"] == 0
+
+
+def test_sample_stratified_exact_k_and_deterministic(spark):
+    rows = [(i, f"text {i}", "en" if i % 2 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    s1 = corpus.sample_stratified(df, k=5, strata_col="lang").collect()
+    s2 = corpus.sample_stratified(df, k=5, strata_col="lang").collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # reproducible
+    by = {}
+    for r in s1:
+        by.setdefault(r["strata"], []).append(r["sample_rank"])
+    assert set(by) == {"en", "de"}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by.values())
+    # rank<=k must trigger the map-side window group limit
+    plan = corpus.sample_stratified(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_shard_pack_prefix_sum_invariants(spark):
+    rows = [(i, " ".join(["w"] * (10 + i % 7))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        corpus.shard_pack(df, tokens_per_shard=50).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    run = 0
+    for r in got:
+        assert r["shard_id"] == run // 50 and r["shard_offset"] == run % 50
+        run += r["n_tokens"]
+    assert run == sum(10 + i % 7 for i in range(40))
+    assert got[-1]["shard_id"] > 0  # budget actually split the corpus
