@@ -23,6 +23,14 @@ At 10^10 URLs the seen set cannot live on one node.  Design:
 
 No false negatives by construction; FP rate bounded in
 tests/test_seen.py with hypothesis.
+
+Bloom over cuckoo (the north rule allows either): the URL-seen set is
+append-only — a crawl never *unsees* a URL — so cuckoo's one advantage
+(deletion) buys nothing here, while its insert path (displacement
+chains, stash overflow) does not vectorize into the numpy bitset ops
+the sharded builder runs per cogroup batch.  A cuckoo shard would slot
+into the same (shard_id, binary state) row contract if a future table
+needed deletes (e.g. retention-expired seen entries).
 """
 
 from __future__ import annotations
