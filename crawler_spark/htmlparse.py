@@ -198,9 +198,13 @@ _CDATA_CLOSE = {t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE) for t in _CDATA
 
 #: left-to-right attribute tokenizer: delimiter, name, optional =value
 #: (quoted values consumed whole so a quoted payload can never be
-#: mistaken for an attribute boundary)
+#: mistaken for an attribute boundary).  The delimiter is a zero-width
+#: lookbehind — exactly attrfind_tolerant's ``(?<=['"\s/])`` — so a
+#: quote can delimit the NEXT attribute even though it was consumed as
+#: part of the previous value's token ('<div title="x"class="real">'
+#: finds class; round-4 ADVICE).
 _ATTR_SCAN = re.compile(
-    r"[ \t\n\r\f/]([^ \t\n\r\f/>=]+)"
+    r"(?<=[ \t\n\r\f/\"'])([^ \t\n\r\f/>=]+)"
     r"(?:[ \t\n\r\f]*=[ \t\n\r\f]*(\"[^\"]*\"|'[^']*'|[^ \t\n\r\f>]*))?"
 )
 

@@ -188,17 +188,39 @@ def _scan_offsets(data: bytes) -> dict[int, int]:
 
 def _object_at(data: bytes, off: int) -> bytes:
     """Raw bytes of the object starting at ``off`` (through endobj).
-    ``endstream``/``endobj`` inside stream data is impossible for the
-    /Length-delimited streams we read — the stream body is cut by
-    /Length before token search."""
+
+    The ``endobj`` token can occur BY CHANCE inside stream data (either
+    literally in an uncompressed content stream or as a byte coincidence
+    in Flate output — round-4 ADVICE), so when the object carries a
+    /Length-delimited stream the token search starts only AFTER the
+    stream body, mirroring how a real tokenizer skips the data region.
+    Indirect /Length references (``5 0 R``) are not emitted by
+    :func:`encode_pdf`; if one appears the skip is waived and the search
+    degrades to the pre-fix first-token behavior."""
     m = _OBJ_RE.match(data, off)
     if m is None:
         # offsets from damaged xrefs may point at the preceding newline
         m = _OBJ_RE.search(data, off, off + 32)
         if m is None:
             raise ValueError(f"no object at offset {off}")
-    end = data.find(b"endobj", m.end())
-    return data[m.end() : end if end != -1 else len(data)]
+    start = m.end()
+    search_from = start
+    s_at = data.find(b"stream", start)
+    if s_at != -1:
+        e0 = data.find(b"endobj", start)
+        # 'stream' before the first 'endobj' candidate => this object's
+        # own stream; anything after belongs to a later object
+        if e0 == -1 or s_at < e0:
+            mlen = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", data[start:s_at])
+            if mlen:
+                body_at = s_at + len(b"stream")
+                if data[body_at : body_at + 2] == b"\r\n":
+                    body_at += 2
+                elif data[body_at : body_at + 1] == b"\n":
+                    body_at += 1
+                search_from = body_at + int(mlen.group(1))
+    end = data.find(b"endobj", search_from)
+    return data[start : end if end != -1 else len(data)]
 
 
 def _dict_ref(obj: bytes, key: str) -> int | None:

@@ -664,33 +664,40 @@ _DUCK_PII_AUG = (
     " FROM documents"
 )
 
+# counts mirror corpus.pii_scrub's chain: each pattern counted on the
+# text its replacement actually sees (email on raw, phone on
+# email-scrubbed, ip on phone-scrubbed) so nested matches stay
+# consistent (round-4 ADVICE)
 ORACLE_PII_SCRUB = (
     "WITH aug AS (" + _DUCK_PII_AUG + "),\n"
     "s AS (SELECT doc_id, text,\n"
-    "  regexp_replace(regexp_replace(regexp_replace(text,\n"
-    "    '" + corpus.PII_EMAIL_RE + "', '[EMAIL]', 'g'),\n"
-    "    '" + corpus.PII_PHONE_RE + "', '[PHONE]', 'g'),\n"
-    "    '" + corpus.PII_IP_RE + "', '[IP]', 'g') AS scrubbed FROM aug)\n"
+    "  regexp_replace(text, '" + corpus.PII_EMAIL_RE + "', '[EMAIL]', 'g') AS s1 FROM aug),\n"
+    "s2 AS (SELECT doc_id, text, s1,\n"
+    "  regexp_replace(s1, '" + corpus.PII_PHONE_RE + "', '[PHONE]', 'g') AS s2 FROM s),\n"
+    "s3 AS (SELECT doc_id, text, s1, s2,\n"
+    "  regexp_replace(s2, '" + corpus.PII_IP_RE + "', '[IP]', 'g') AS scrubbed FROM s2)\n"
     "SELECT doc_id,\n"
     "  cast(len(regexp_extract_all(text, '" + corpus.PII_EMAIL_RE + "')) as bigint) AS n_emails,\n"
-    "  cast(len(regexp_extract_all(text, '" + corpus.PII_PHONE_RE + "')) as bigint) AS n_phones,\n"
-    "  cast(len(regexp_extract_all(text, '" + corpus.PII_IP_RE + "')) as bigint) AS n_ips,\n"
+    "  cast(len(regexp_extract_all(s1, '" + corpus.PII_PHONE_RE + "')) as bigint) AS n_phones,\n"
+    "  cast(len(regexp_extract_all(s2, '" + corpus.PII_IP_RE + "')) as bigint) AS n_ips,\n"
     "  cast(length(scrubbed) as bigint) AS scrubbed_len,\n"
     "  md5(scrubbed) AS scrubbed_md5\n"
-    "FROM s"
+    "FROM s3"
 )
 
 
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination sweep: distinct 3-gram overlap of every
-    doc against the benchmark set (doc_id %% 7 == 0), benchmark side
-    broadcast (eval suites are KB-MB at any corpus scale), corpus side
-    one scan + map-side probe.  k=3 because the synthetic corpus draws
-    from a ~30-word vocabulary; production sweeps use k=8-13 via the
-    same operator."""
-    return corpus.contamination(
-        _t(spark, sf_dir, "documents"), k=3, bench_mod=7
-    )
+    doc against an explicit benchmark DataFrame (here the doc_id%7==0
+    slice — the fixture lives in the QUERY, not the operator), benchmark
+    side broadcast only under the operator's size gate (eval suites are
+    KB-MB at any corpus scale; an oversized bench falls back to a
+    shuffle hash join).  k=3 because the synthetic corpus draws from a
+    ~30-word vocabulary; production sweeps use k=8-13 via the same
+    operator."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return corpus.contamination(docs, bench, k=3)
 
 
 ORACLE_CONTAMINATION = f"""

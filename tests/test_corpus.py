@@ -117,7 +117,8 @@ def test_contamination_overlap_and_self_exclusion(spark):
         (3, "alpha beta gamma"),               # exactly one 3-gram hit
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r["doc_id"]: r for r in corpus.contamination(df, k=3, bench_mod=7).collect()}
+    bench = df.filter("doc_id % 7 = 0")
+    got = {r["doc_id"]: r for r in corpus.contamination(df, bench, k=3).collect()}
     # doc 1: shares the 3 shingles of the passage windowed at k=3
     assert got[1]["n_contaminated"] == 3 and got[1]["n_ngrams"] == 5
     assert got[2]["n_contaminated"] == 0
@@ -157,3 +158,83 @@ def test_shard_pack_prefix_sum_invariants(spark):
         run += r["n_tokens"]
     assert run == sum(10 + i % 7 for i in range(40))
     assert got[-1]["shard_id"] > 0  # budget actually split the corpus
+
+
+def test_pii_scrub_nested_matches_count_consistently(spark):
+    # an IPv4-shaped domain inside an email: the [EMAIL] replacement
+    # consumes it, so it must NOT be counted as an ip (round-4 ADVICE:
+    # counts follow the same chain the redactions do)
+    rows = [(0, "write a@1.2.3.4.com soon"), (1, "bare host 1.2.3.4 here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in corpus.pii_scrub(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ips"]) == (1, 0)
+    import hashlib
+
+    expect0 = "write [EMAIL] soon"
+    assert got[0]["scrubbed_len"] == len(expect0)
+    assert got[0]["scrubbed_md5"] == hashlib.md5(expect0.encode()).hexdigest()
+    assert (got[1]["n_emails"], got[1]["n_ips"]) == (0, 1)
+
+
+def test_contamination_external_benchmark(spark):
+    # the real shape: benchmark docs live in their OWN table/id space —
+    # every shared shingle counts (no self-guard can trigger)
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta epsilon suffix"),
+            (2, "totally different text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9001, "alpha beta gamma delta epsilon")],  # own id space
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in corpus.contamination(docs, bench, k=3).collect()}
+    # doc 1 shares the benchmark passage's 3 shingles; with disjoint id
+    # spaces the self-guard never triggers and every shared shingle counts
+    assert got[1]["n_contaminated"] == 3 and got[1]["n_ngrams"] == 5
+    assert got[2]["n_contaminated"] == 0
+
+
+def test_contamination_size_gate_plans(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id % 7 = 0")
+    # forced / auto-small -> broadcast probe, corpus never shuffled
+    plan_b = (
+        corpus.contamination(docs, bench, k=3, broadcast=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan_b
+    # oversized bench (threshold forced to 1 byte) -> the gate must pick
+    # the non-broadcast path on its own
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        plan_s = (
+            corpus.contamination(docs, bench, k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan_s
+    assert "ShuffledHashJoin" in plan_s
+    # same answer on both plans
+    a = sorted(map(tuple, corpus.contamination(docs, bench, k=3, broadcast=True).collect()))
+    b = sorted(map(tuple, corpus.contamination(docs, bench, k=3, broadcast=False).collect()))
+    assert a == b
+
+
+def test_shard_pack_reruns_identical_no_cached_leak(spark):
+    rows = [(i * 13 + 5, " ".join(["w"] * (4 + i % 5))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    r1 = sorted(map(tuple, corpus.shard_pack(df, tokens_per_shard=16).collect()))
+    r2 = sorted(map(tuple, corpus.shard_pack(df, tokens_per_shard=16).collect()))
+    assert r1 == r2  # deterministic bucketing: no sampling anywhere
+    # the round-4 persist leak is gone: the calls cached nothing new
+    assert jsc.getPersistentRDDs().size() == before

@@ -121,3 +121,18 @@ def test_pdf_real_empty_text_layer_falls_through_to_ocr():
 def test_pdf_garbage_rejected():
     with pytest.raises(NotImplementedError):
         X.decode_pdf(b"\x00\x01 not a pdf at all")
+
+
+def test_pdf_endobj_bytes_inside_stream_data():
+    # 'endobj' occurring BY CHANCE inside stream data must not truncate
+    # the object (round-4 ADVICE: the token search now skips the
+    # /Length-delimited body) — forced here with an uncompressed content
+    # stream whose text contains the literal token
+    from crawler_spark.pdfcodec import decode_pdf_min, encode_pdf
+
+    text = "before endobj after\nand endstream too\nlast line"
+    raw = encode_pdf(text, compress=False)
+    assert b"endobj after" in raw  # the trap is really in the stream
+    assert decode_pdf_min(raw) == text
+    # compressed round-trip of the same text stays good
+    assert decode_pdf_min(encode_pdf(text)) == text

@@ -140,3 +140,25 @@ def test_attr_value_not_fooled_by_quoted_payloads():
     # bare attribute and unquoted values tokenize cleanly
     html3 = '<div hidden class=real data-x=1><p>t</p></div>'
     assert stream_extract(html3, "div.real")[0] == "t"
+
+
+def test_attr_value_quote_adjacent_attributes():
+    """Round-4 ADVICE: a quote can be the only delimiter before the next
+    attribute ('<div title="x"class="real">') — html.parser's
+    attrfind_tolerant accepts it via its (?<=['"\\s/]) lookbehind, so the
+    streaming scanner must too, and both paths must stay byte-equal."""
+    from crawler_spark.htmlparse import parse_html, stream_extract
+
+    cases = [
+        '<div title="x"class="real"><p>t</p></div>',
+        "<div title='x'class='real'><p>t</p></div>",
+        '<div a="1"b="2"class="real"id="i1"><p>t</p></div>',
+    ]
+    for html in cases:
+        assert stream_extract(html, "div.real")[0] == "t", html
+        dom = parse_html(html)
+        assert dom.select_one("div.real").get_text() == "t", html
+    # id + href through a quote delimiter, document order kept
+    html2 = '<a href="/1"id="x">a</a><a title="t"href="/2">b</a>'
+    _, links = stream_extract(html2, None, ("a",))
+    assert links == [["/1", "/2"]]
