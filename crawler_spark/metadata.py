@@ -610,14 +610,42 @@ TIMELINE_LOCALE_MONTHS: dict[str, tuple[str, ...]] = {}
 
 
 def _init_timeline_locales() -> None:
-    from .extract import DE_MONTHS, ES_MONTHS, FR_MONTHS
+    # ALL of X7's locale vocabularies are wired in (round-4 VERDICT
+    # next #3 named hr/pl; hu/nl ride along) — the same month tables
+    # parse_date_str uses (extract.py LOCALE_MONTHS), so the two date
+    # subsystems can never drift.  Note hr and pl both contain
+    # 'listopada' at DIFFERENT months (hr: October, pl: November) —
+    # exactly why the forms are gated on the doc's lang like
+    # dateparser's languages=[lc].
+    from .extract import (
+        DE_MONTHS, ES_MONTHS, FR_MONTHS, HR_MONTHS, HU_MONTHS,
+        NL_MONTHS, PL_MONTHS,
+    )
 
     TIMELINE_LOCALE_MONTHS.update(
-        {"fr": FR_MONTHS, "es": ES_MONTHS, "de": DE_MONTHS}
+        {
+            "fr": FR_MONTHS, "es": ES_MONTHS, "de": DE_MONTHS,
+            "hr": HR_MONTHS, "hu": HU_MONTHS, "nl": NL_MONTHS,
+            "pl": PL_MONTHS,
+        }
     )
 
 
 _init_timeline_locales()
+
+#: the driver's synthetic documents table only carries
+#: en/zh/es/de/fr langs, so the timeline FIXTURE deterministically
+#: remaps half of the en docs onto the four extra locales — both
+#: engines apply the identical remap (DUCK_TIMELINE_LANG below).
+TIMELINE_EXTRA_LANGS = ("hr", "hu", "nl", "pl")
+
+#: DuckDB twin of the lang remap in :func:`with_timeline_text`
+#: (columns resolved against the oracle's ``d`` = documents alias)
+DUCK_TIMELINE_LANG = (
+    "(CASE WHEN d.lang = 'en' AND d.doc_id % 2 = 1 THEN list_extract(["
+    + ", ".join(f"'{lc}'" for lc in TIMELINE_EXTRA_LANGS)
+    + "], cast((d.doc_id // 2) % 4 + 1 as int)) ELSE d.lang END)"
+)
 
 #: numeric CJK date ("2021年5月17日") for zh docs — dateparser's zh
 #: locale recognizes this absolute form; no word boundaries (CJK has
@@ -661,10 +689,22 @@ def with_timeline_text(docs: DataFrame) -> DataFrame:
         .when(form == 5, F.concat(mname, F.lit(" "), dd_ord, F.lit(", "), y.cast("string")))
         .otherwise(F.concat(m.cast("string"), F.lit("/"), dd.cast("string"), F.lit("/"), y.cast("string")))
     )
-    # locale sentence: docs in fr/es/de carry one extra absolute date in
-    # their own language's month names, zh docs the numeric CJK form —
-    # only the lang-gated locale form of timeline_full may resolve it
+    # locale sentence: docs in fr/es/de/hr/hu/nl/pl carry one extra
+    # absolute date in their own language's month names, zh docs the
+    # numeric CJK form — only the lang-gated locale form of
+    # timeline_full may resolve it.  Half the en docs are remapped onto
+    # the four extra locales (the synthetic corpus carries none); the
+    # remapped lang is written back onto the output so the parse side
+    # gates on the same value the fixture planted.
     lang = F.col("lang") if "lang" in docs.columns else F.lit("en")
+    extra_langs = F.array(*[F.lit(x) for x in TIMELINE_EXTRA_LANGS])
+    lang = F.when(
+        (lang == "en") & (F.col("doc_id") % 2 == 1),
+        F.element_at(
+            extra_langs,
+            (F.expr("cast(doc_id div 2 as int)") % len(TIMELINE_EXTRA_LANGS) + 1),
+        ),
+    ).otherwise(lang)
     loc = F.lit(None).cast("string")
     for lc, months_t in sorted(TIMELINE_LOCALE_MONTHS.items()):
         arr = F.array(*[F.lit(x) for x in months_t])
@@ -682,7 +722,7 @@ def with_timeline_text(docs: DataFrame) -> DataFrame:
         loc.isNotNull(),
         F.concat(F.lit(". Registered locally on "), loc),
     ).otherwise(F.lit(""))
-    return docs.withColumn(
+    return docs.withColumn("lang", lang).withColumn(
         "text",
         F.concat(
             F.col("text"),

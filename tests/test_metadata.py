@@ -111,3 +111,41 @@ def test_full_gdpr_tree_validation(spark):
         )
         has26 = (d, 26, d % 4 + 1, None) in got
         assert has26 == (d % 4 < 3), (d, "art 26 has paragraphs 1-3")
+
+
+def test_timeline_locale_months_gated_on_lang(spark):
+    """Round-5: hr/pl/hu/nl month vocabularies (X7's tables) are wired
+    into the lang-gated timeline forms.  'listopada' is October in hr
+    but November in pl — the gate (dateparser's languages=[lc]) must
+    resolve the SAME token differently per doc."""
+    rows = [
+        (0, "case opened 5 listopada 2021 formally", "hr"),
+        (1, "case opened 5 listopada 2021 formally", "pl"),
+        (2, "case opened 5 januari 2021 formally", "nl"),
+        (3, "case opened 2021. janu text 5 augusztus 2021 done", "hu"),
+        # en doc: locale tokens must NOT resolve without the lang gate
+        (4, "case opened 5 listopada 2021 formally", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {}
+    for r in metadata.timeline_full(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["date_str"])
+    assert "05/10/2021" in got[0]  # hr: October
+    assert "05/11/2021" in got[1]  # pl: November
+    assert "05/01/2021" in got[2]  # nl: January
+    assert "05/08/2021" in got[3]  # hu: August
+    assert not {"05/10/2021", "05/11/2021"} & got.get(4, set())
+
+
+def test_timeline_fixture_remaps_en_docs_to_extra_locales(spark):
+    # the planted locale sentence must resolve for remapped docs: doc_id
+    # 2001 is en, odd -> remapped (2001 div 2 = 1000; 1000 % 4 = 0 -> hr)
+    df = spark.createDataFrame(
+        [(2001, "body text", "en")], "doc_id long, text string, lang string"
+    )
+    aug = metadata.with_timeline_text(df).collect()[0]
+    assert aug["lang"] == "hr"
+    n = 2001 % 2000  # = 1 -> m=2, dd=2, y=2018
+    assert " 2 " + metadata.TIMELINE_LOCALE_MONTHS["hr"][1] + " 2018" in aug["text"]
+    out = {r["date_str"] for r in metadata.timeline_full(df).collect()}
+    assert "02/02/2018" in out
