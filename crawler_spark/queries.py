@@ -919,11 +919,29 @@ SELECT doc_id, gram, n_occ, rnk FROM (
 """
 
 
+#: irregular forms planted into every doc so the lemma exception table
+#: is exercised by the driver gate (round-4 VERDICT next #5): the
+#: noun-exception words must come out as their WordNet lemmas, while
+#: 'better'/'ran' are identity under the reference's default pos='n'
+#: (keywords_metadata_service/__init__.py:23) and 'ladies' exercises
+#: the regular ies->y rule.  Each word repeats so the lemmas reach the
+#: per-doc top-20 window.
+KW_PLANT_WORDS = (
+    "better", "ran", "children", "men", "women", "feet", "teeth",
+    "geese", "mice", "criteria", "analyses", "ladies",
+)
+_KW_PLANT = " " + " ".join(w for w in KW_PLANT_WORDS for _ in range(8))
+
+
 def q_keywords_full(spark, sf_dir):
     """A4 full pipeline shape: clean -> stopword filter -> (1,3)-gram
     CountVectorizer frequencies -> top-20 per doc
-    (keywords_metadata_service/__init__.py:14-35)."""
-    return metadata.keywords_full(_t(spark, sf_dir, "documents"))
+    (keywords_metadata_service/__init__.py:14-35), with irregular noun
+    forms planted so the WordNet exception table is oracle-checked."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_KW_PLANT))
+    )
+    return metadata.keywords_full(docs)
 
 
 def _oracle_keywords_full() -> str:
@@ -945,7 +963,7 @@ WITH t AS (SELECT doc_id,
                        AND {metadata.ADVERB_SQL}),
       w -> regexp_replace(w, 'ies$', 'y')),
       w -> {metadata.LEMMA_SQL}) AS tokens
-  FROM documents),
+  FROM (SELECT doc_id, text || '{_KW_PLANT}' AS text FROM documents)),
 g AS ({union}),
 c AS (SELECT doc_id, gram, cast(count(*) as bigint) AS n_occ FROM g GROUP BY 1, 2)
 SELECT doc_id, gram, n_occ, rnk FROM (
@@ -1212,22 +1230,94 @@ FROM events GROUP BY event_type
 """
 
 
-def q_kmeans_clusters(spark, sf_dir):
-    """A10 corpus clustering: pyspark.ml KMeans over embeddings (k=4,
-    fixed seed) — rows-only check (cluster ids are arbitrary labels).
-    Mirrors gdpr clustering (pygdpr/models/gdpr/__init__.py:190-270)
-    with embeddings standing in for TF-IDF vectors.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+#: frozen centroid seeds + iteration count shared by the Spark queries
+#: and the unrolled DuckDB oracle below
+KMEANS_SEED_IDS = (0, 100, 200, 300)
+KMEANS_ITERS = 3
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+
+def q_kmeans_clusters(spark, sf_dir):
+    """A10 corpus clustering, now DETERMINISTIC and oracle-paired
+    (round-4 VERDICT next #7): Lloyd iterations over DataFrames with
+    centroids frozen by vec_id, bounded iterations, round-before-rank
+    ties — hash-checkable against the unrolled SQL twin (the old
+    pyspark.ml KMeans ran rows-only because its labels were arbitrary).
+    Mirrors gdpr clustering (pygdpr/models/gdpr/__init__.py:190-270).
+    """
+    from . import similarity
+
+    return similarity.kmeans_lloyd(
+        _t(spark, sf_dir, "embeddings"),
+        centroid_ids=KMEANS_SEED_IDS,
+        iters=KMEANS_ITERS,
     )
-    model = KMeans(k=4, seed=3425, featuresCol="features").fit(emb)
-    return model.transform(emb).select(
-        "vec_id", F.col("prediction").cast("int").alias("cluster")
+
+
+def q_cluster_assign(spark, sf_dir):
+    """Single assignment pass against frozen centroids (the
+    oracle-paired clustering primitive: broadcast k centroids, one
+    corpus scan, per-vector argmin window)."""
+    from . import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_assign(
+        emb, similarity.frozen_centroids(emb, KMEANS_SEED_IDS)
     )
+
+
+def _duck_kmeans(iters: int) -> str:
+    """Unrolled DuckDB twin of similarity.kmeans_lloyd: same frozen
+    seeds, same float->double index-order distance fold, same
+    round(d2,6)/cid tie-break, same round(mean,9) centroid update."""
+    ids = ", ".join(str(i) for i in KMEANS_SEED_IDS)
+    d2 = (
+        "list_aggregate(list_transform(generate_series(1, len(e.v)), "
+        "i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i])), 'sum')"
+    )
+    assign = (
+        "SELECT vec_id, cid, d2 FROM ("
+        " SELECT e.vec_id, c.cid, round({d2}, 6) AS d2,"
+        " row_number() OVER (PARTITION BY e.vec_id"
+        "   ORDER BY round({d2}, 6), c.cid) AS rnk"
+        " FROM e, {cents} c) WHERE rnk = 1"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id IN ({ids}))",
+    ]
+    for t in range(iters):
+        ctes.append(f"a{t} AS ({assign.format(d2=d2, cents=f'c{t}')})")
+        ctes.append(
+            f"c{t + 1} AS (SELECT cid, list(m ORDER BY i) AS cvec FROM ("
+            f" SELECT a.cid, t.i, round(avg(e.v[t.i]), 9) AS m"
+            f" FROM a{t} a JOIN e USING (vec_id),"
+            f" unnest(generate_series(1, len(e.v))) AS t(i)"
+            f" GROUP BY a.cid, t.i) GROUP BY cid)"
+        )
+    final = assign.format(d2=d2, cents=f"c{iters}")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cast(cid as bigint) AS cluster, d2 FROM ({final})"
+    )
+
+
+ORACLE_KMEANS = _duck_kmeans(KMEANS_ITERS)
+
+ORACLE_CLUSTER_ASSIGN = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cvec FROM e
+  WHERE vec_id IN ({", ".join(str(i) for i in KMEANS_SEED_IDS)}))
+SELECT vec_id, cast(cid as bigint) AS cluster_id, d2 FROM (
+  SELECT e.vec_id, c.cid,
+    round(list_aggregate(list_transform(generate_series(1, len(e.v)),
+      i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i])), 'sum'), 6) AS d2,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY round(list_aggregate(list_transform(generate_series(1, len(e.v)),
+        i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i])), 'sum'), 6), c.cid) AS rnk
+  FROM e, c) WHERE rnk = 1
+"""
 
 
 # ===========================================================================
@@ -1651,6 +1741,7 @@ QUERIES = {
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "cluster_assign": q_cluster_assign,
     "stopword_topk": q_stopword_topk,
     "politeness_topk": q_politeness_topk,
     "windowed_agg": q_windowed_agg,
@@ -1728,8 +1819,10 @@ ORACLES = {
     "word_preprocess": ORACLE_WORD_PREPROCESS,
     "filename_extract": ORACLE_FILENAME,
     "json_props": ORACLE_JSON_PROPS,
-    # crawl_mini / kmeans_clusters: intentionally no oracle (fixtures are
-    # not DuckDB views; kmeans labels are arbitrary) -> rows-only checks.
-    # crawl_mini's ground truth is the sequential oracle in
-    # tests/test_e2e_crawl.py.
+    "cluster_assign": ORACLE_CLUSTER_ASSIGN,
+    "kmeans_clusters": ORACLE_KMEANS,
+    # crawl_mini: intentionally no oracle (fixtures are not DuckDB
+    # views; its ground truth is the sequential oracle in
+    # tests/test_e2e_crawl.py).  ann_ivf / reachability: justified
+    # rows-only (recall/CSS probing not SQL-expressible).
 }

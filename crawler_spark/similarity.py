@@ -404,3 +404,125 @@ def neardup_pairs_bucketed(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic clustering (A10's oracle-checkable form)
+# ---------------------------------------------------------------------------
+
+#: squared euclidean distance between the row's vector and the joined
+#: centroid column — float->double promoted BEFORE subtraction and
+#: summed as a sequential left-to-right fold, the exact IEEE sequence
+#: the DuckDB oracle computes, so distances are bit-equal across engines
+_D2 = (
+    "aggregate(sequence(1, size({v})), cast(0.0 as double), (acc, i) -> "
+    "acc + (cast(element_at({v}, i) as double) - element_at(cvec, i)) "
+    "* (cast(element_at({v}, i) as double) - element_at(cvec, i)))"
+)
+
+
+def centroid_assign(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One assignment pass: nearest centroid per vector.
+
+    ``cents`` is (cid: long, cvec: array<double>) — k rows, always
+    broadcast, so the corpus side is a single scan with a map-side
+    k-way distance loop; the only wide operation is the per-vector
+    argmin window, which runs on k rows per vector.  Distances are
+    rounded to 6 decimals BEFORE ranking and ties break on cid asc, so
+    the assignment is deterministic and engine-independent.
+
+    Output: (id_col, cluster_id: bigint, d2: double).
+    """
+    pairs = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "cid",
+            F.round(F.expr(_D2.format(v=vec_col)), 6).alias("d2"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("d2", "cid")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            id_col,
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            "d2",
+        )
+    )
+
+
+def frozen_centroids(
+    emb: DataFrame,
+    centroid_ids: tuple[int, ...] = (0, 100, 200, 300),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k centroids frozen by id — the seeded-deterministic init that
+    replaces KMeans' random init (labels become real values a SQL
+    oracle can check, not arbitrary permutation-classes)."""
+    return emb.filter(F.col(id_col).isin(*centroid_ids)).select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cvec"),
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    centroid_ids: tuple[int, ...] = (0, 100, 200, 300),
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """A10 corpus clustering as deterministic Lloyd iterations over
+    DataFrames (fixed initial centroids = :func:`frozen_centroids`,
+    ``iters`` bounded, distance ties -> smallest cid): unlike
+    pyspark.ml KMeans this is hash-checkable against an unrolled SQL
+    oracle.  Mirrors gdpr clustering (pygdpr/models/gdpr/__init__.py:
+    190-270) with embeddings standing in for TF-IDF vectors.
+
+    Per iteration: one corpus scan (broadcast k-centroid assign) + a
+    k-group mean agg (partial map-side: reducers see partitions x k x
+    dim partials, never rows).  Per-dim means round to 9 decimals on
+    both engines so float summation-order noise (~1e-15) can never
+    leak into the next iteration's distances.  At 100 TB the slim
+    (id, vector) projection would be cached/checkpointed once and
+    re-scanned per iteration; nothing else grows with corpus size.
+
+    Output: (id_col, cluster: bigint, d2: double).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    cents = frozen_centroids(emb, centroid_ids, id_col, vec_col)
+    for _ in range(iters):
+        a = centroid_assign(emb, cents, id_col, vec_col).select(
+            id_col, F.col("cluster_id").alias("cid")
+        )
+        cents = (
+            a.join(emb.select(id_col, vec_col), id_col)
+            .groupBy("cid")
+            .agg(
+                F.array(
+                    *[
+                        F.round(
+                            F.avg(
+                                F.element_at(F.col(vec_col), i + 1).cast(
+                                    "double"
+                                )
+                            ),
+                            9,
+                        )
+                        for i in range(dim)
+                    ]
+                ).alias("cvec")
+            )
+        )
+    return centroid_assign(emb, cents, id_col, vec_col).select(
+        id_col, F.col("cluster_id").alias("cluster"), "d2"
+    )

@@ -149,3 +149,28 @@ def test_timeline_fixture_remaps_en_docs_to_extra_locales(spark):
     assert " 2 " + metadata.TIMELINE_LOCALE_MONTHS["hr"][1] + " 2018" in aug["text"]
     out = {r["date_str"] for r in metadata.timeline_full(df).collect()}
     assert "02/02/2018" in out
+
+
+def test_keywords_lemma_exceptions_match_wordnet_pos_n(spark):
+    """Round-5: the irregular noun forms lemmatize through the WordNet
+    noun.exc table; 'better'/'ran' stay identity because the reference
+    calls lem.lemmatize(word) with the default pos='n'."""
+    text = (
+        "better ran children men women feet teeth geese mice "
+        "criteria analyses ladies glasses cases"
+    )
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    grams = {r["gram"] for r in metadata.keywords_full(df, k=100).collect()}
+    # exceptions applied
+    for lemma in ("child", "man", "woman", "foot", "tooth", "goose",
+                  "mouse", "criterion", "analysis"):
+        assert lemma in grams, lemma
+    for raw in ("children", "men", "women", "feet", "teeth", "geese",
+                "mice", "criteria", "analyses"):
+        assert raw not in grams, raw
+    # pos='n' identity forms untouched
+    assert "better" in grams and "ran" in grams
+    # regular rules still apply: ies->y, -s stripped ('glasses'->'glasse'
+    # is the documented suffix-rule stand-in divergence: WordNet's
+    # ses->s rule needs the noun dictionary to validate candidates)
+    assert "lady" in grams and "case" in grams and "glasse" in grams
