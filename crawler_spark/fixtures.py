@@ -37,7 +37,7 @@ from . import extract as X
 AS_OF = date(2024, 1, 15)  # frozen 'today' for the retention window (P1)
 # bump when fixture layout changes: fixture_dir() regenerates cached dirs
 # whose marker carries a different version
-FIXTURE_VERSION = "v6"
+FIXTURE_VERSION = "v7"  # v7: scanned (image-only) pdfs in sf* profiles
 CDN_HOST = "cdn.example.eu"
 HOSTS = {
     "austria": "www.dsb.gv.at",
@@ -839,6 +839,7 @@ def generate(
     authorities: tuple[str, ...] = BASE_AUTHORITIES,
     doc_pad_lines: int = 0,
     ground_truth: bool = True,
+    scanned_pdfs: bool = False,
 ) -> dict[str, str]:
     """Write pages/seeds/robots parquet under out_dir; returns paths.
 
@@ -846,7 +847,12 @@ def generate(
     ``doc_pad_lines`` fattens document bodies (scale profiles);
     ``ground_truth=False`` skips the per-page oracle text (bench-only
     fixtures where the correctness oracle is not run — generation would
-    otherwise pay one full parse per page).  Pages stream to the parquet
+    otherwise pay one full parse per page).  ``scanned_pdfs`` makes the
+    first latvia item per listing page an IMAGE-ONLY pdf (text rendered
+    through the engine's JPEG codec, no text layer) so the
+    empty-text-layer -> OCR dispatch crawls end-to-end; enabled for the
+    correctness (sf*) profiles only — decoder coverage belongs there,
+    not in the throughput-bench inputs.  Pages stream to the parquet
     writer in chunks so multi-GB fixtures never sit in one DataFrame.
     """
     os.makedirs(out_dir, exist_ok=True)
@@ -903,6 +909,22 @@ def generate(
                     continue
                 if b == "latvia":
                     if i % 6 == 5:  # row without a pdf link, never fetched
+                        continue
+                    if scanned_pdfs and i == 1:
+                        # image-only (scanned) pdf: the OCR dispatch's
+                        # e2e coverage — short single-line payload in
+                        # the OCR charset keeps the pure-python JPEG
+                        # encode/decode cost bounded
+                        from .ocr import encode_scanned_pdf
+
+                        content = encode_scanned_pdf(
+                            f"SCANNED DECISION {k}-{i} OF THE "
+                            f"{a.upper()} AUTHORITY."
+                        )
+                        furl = lv_file_url(a, k, i)
+                        gt = X.decode_file(furl, content) if ground_truth else None
+                        add(furl, content, gt, lang, off)
+                        off += 1
                         continue
                     payload = _para_text(a, k, i, doc_pad_lines)
                     content = _make_pdf(payload)
@@ -1175,7 +1197,13 @@ def fixture_dir(profile: str = "sf0.01", root: str = "/tmp/crawler_spark_fixture
             )
         else:
             n_pages, n_items, n_files = SF_PROFILES[profile]
-            generate(out, n_pages=n_pages, n_items=n_items, n_files=n_files)
+            generate(
+                out,
+                n_pages=n_pages,
+                n_items=n_items,
+                n_files=n_files,
+                scanned_pdfs=True,
+            )
         with open(marker, "w") as f:
             f.write(FIXTURE_VERSION)
     return out

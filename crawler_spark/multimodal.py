@@ -429,13 +429,15 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg(data: bytes) -> tuple[int, int, float]:
+def decode_jpeg_pixels(data: bytes) -> tuple[int, int, list[list[int]]]:
     """REAL baseline grayscale JPEG decode: marker walk, in-file Huffman
     + quant tables, entropy decode (DC prediction, AC run-length, EOB,
     ZRL, byte unstuffing), dequantize, exact 2-D IDCT, level shift.
-    Returns (width, height, mean_luma of the w x h crop).  Progressive /
-    multi-component / restart-interval streams raise (documented subset,
-    like decode_png's 8-bit-RGB gate)."""
+    Returns (width, height, rows of clipped 0-255 luma of the w x h
+    crop) — the pixel-level entry the OCR leaf consumes
+    (:mod:`crawler_spark.ocr`).  Progressive / multi-component /
+    restart-interval streams raise (documented subset, like
+    decode_png's 8-bit-RGB gate)."""
     import struct
 
     if data[:2] != b"\xff\xd8":
@@ -503,7 +505,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
     br = _BitReader(data, pos)
     pw, ph = (w + 7) // 8 * 8, (h + 7) // 8 * 8
     pred = 0
-    total = 0
+    rows = [[0] * w for _ in range(h)]
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             zz = [0] * 64
@@ -546,9 +548,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                             if f:
                                 s += cu * c[v] * f * cos[v][x]
                     val = int(round(s * 0.25)) + 128
-                    total += min(255, max(0, val))
+                    rows[py][bx + x] = min(255, max(0, val))
+    return w, h, rows
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_luma) summary over :func:`decode_jpeg_pixels`
+    — the registered multimodal_jpeg stat; byte-for-byte the same
+    clipped values the pixel entry returns."""
+    w, h, rows = decode_jpeg_pixels(data)
     n = w * h
-    return w, h, total / n if n else 0.0
+    return w, h, sum(map(sum, rows)) / n if n else 0.0
 
 
 # ---------------------------------------------------------------------------

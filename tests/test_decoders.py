@@ -136,3 +136,39 @@ def test_pdf_endobj_bytes_inside_stream_data():
     assert decode_pdf_min(raw) == text
     # compressed round-trip of the same text stays good
     assert decode_pdf_min(encode_pdf(text)) == text
+
+
+# -- X3 OCR leaf: image-only (scanned) pdfs ---------------------------------
+
+
+def test_scanned_pdf_ocr_roundtrip_through_real_jpeg():
+    from crawler_spark.ocr import encode_scanned_pdf, ocr_scanned_pdf
+    from crawler_spark.pdfcodec import decode_pdf_min
+
+    text = "SCANNED DECISION 2-3 OF THE LATVIA AUTHORITY.\nFINE: EUR 1234 (CASE X/21)."
+    pdf = encode_scanned_pdf(text)
+    # the text layer is genuinely empty -> decode_pdf dispatches to OCR
+    assert decode_pdf_min(pdf).strip() == ""
+    assert b"/DCTDecode" in pdf and b" Tj" not in pdf
+    # the glyph matcher survives real JPEG quantization noise exactly
+    assert ocr_scanned_pdf(pdf) == text
+    assert X.decode_pdf(pdf) == text
+
+
+def test_scanned_pdf_dispatch_via_decode_file():
+    from crawler_spark.ocr import encode_scanned_pdf
+
+    pdf = encode_scanned_pdf("HELLO 42")
+    assert X.decode_file("https://x/scan.pdf", pdf) == "HELLO 42"
+
+
+def test_ocr_matcher_is_not_a_byte_copy():
+    # the raster really goes through lossy JPEG: the decoded pixels
+    # differ from the clean render, yet the match is exact
+    from crawler_spark.multimodal import decode_jpeg_pixels, encode_jpeg
+    from crawler_spark.ocr import match_raster, render_text_raster
+
+    clean = render_text_raster("QUANTIZE ME 08")
+    _, _, noisy = decode_jpeg_pixels(encode_jpeg(clean))
+    assert noisy != clean  # lossy
+    assert match_raster(noisy) == "QUANTIZE ME 08"
