@@ -61,7 +61,7 @@ def run(fixdir):
         "url", "authority", "doc_type", "depth", "priority", "seq", "title",
         "release_date", "doc_hash", "raw_hash", "html",
         F.col("page_lang").alias("lang"))
-    out = hits.mapInPandas(make_fetch_extract(AS_OF, False), EXTRACT_OUT)
+    out = hits.mapInArrow(make_fetch_extract(AS_OF, False), EXTRACT_OUT)
     t0 = time.time()
     out.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0

@@ -39,7 +39,6 @@ import zipfile
 from datetime import date, datetime
 from typing import Iterator
 
-import pandas as pd
 from pyspark.sql import types as T
 
 from .htmlparse import parse_html, stream_extract
@@ -1374,8 +1373,37 @@ EXTRACT_OUT = T.StructType(
 )
 
 
+def _binary_accessor(arr):
+    """Per-row zero-copy accessor for an Arrow Binary(View-less) array:
+    returns memoryview slices of the batch's data buffer (no per-row
+    bytes materialization — the round-5 bytes-per-page cut: html never
+    becomes a Python bytes object unless a binary decoder needs it).
+    Falls back to ``to_pylist`` for exotic layouts."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(arr)
+    try:
+        if pa.types.is_large_binary(arr.type):
+            odt = np.int64
+        elif pa.types.is_binary(arr.type):
+            odt = np.int32
+        else:
+            raise TypeError
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + n + 1]
+        data = memoryview(bufs[2])
+        if arr.null_count == 0:
+            return lambda i: data[offs[i] : offs[i + 1]]
+        null = np.asarray(arr.is_null())
+        return lambda i: None if null[i] else data[offs[i] : offs[i + 1]]
+    except (TypeError, IndexError):  # pragma: no cover - layout fallback
+        vals = arr.to_pylist()
+        return lambda i: vals[i]
+
+
 def make_fetch_extract(as_of: date, store_content: bool = True):
-    """Build the mapInPandas function for one crawl round.
+    """Build the **mapInArrow** function for one crawl round.
 
     Input rows: scheduled frontier rows already joined to ``pages`` (so
     ``html`` comes straight off the pages scan — it is never shuffled;
@@ -1384,229 +1412,276 @@ def make_fetch_extract(as_of: date, store_content: bool = True):
     documents) and 'log' rows (misses) — one pass over html (SURVEY.md
     §4.4).
 
+    Round-5 rewrite (round-4 VERDICT next #1): the stage consumes raw
+    ``pyarrow.RecordBatch``es instead of pandas frames.  The html
+    payload is accessed as zero-copy memoryview slices of the Arrow
+    data buffer (the old Arrow→pandas conversion materialized every
+    page as a Python bytes object first), the utf-8 decode happens
+    once straight off the view, and output batches are built
+    column-wise with ``pa.array`` (the old path built a list of dicts
+    and a pandas frame per flush, paying block consolidation plus a
+    second pandas→Arrow conversion in the serializer).  Net effect:
+    two fewer full copies of every page plus the per-row object churn,
+    which is exactly the memory traffic the N→4N stage-scaling probe
+    is bound by.
+
     ``store_content=False`` emits ``content=None`` *inside* the UDF so
     the payload bytes never cross the Python→JVM Arrow boundary at all
     (by-reference document layout: raw bytes stay addressable in the
     pages table by url).
     """
+    import pyarrow as pa
 
-    cols = [f.name for f in EXTRACT_OUT.fields]
+    out_schema = pa.schema(
+        [
+            pa.field("out_kind", pa.string()),
+            pa.field("url", pa.string()),
+            pa.field("parent_url", pa.string()),
+            pa.field("authority", pa.string()),
+            pa.field("doc_type", pa.string()),
+            pa.field("depth", pa.int32()),
+            pa.field("priority", pa.int32()),
+            pa.field("seq", pa.int64()),
+            pa.field("title", pa.string()),
+            pa.field("release_date", pa.date32()),
+            pa.field("text", pa.string()),
+            pa.field("content", pa.binary()),
+            pa.field("lang", pa.string()),
+            pa.field("status", pa.string()),
+            pa.field("doc_hash", pa.string()),
+            pa.field("raw_hash", pa.string()),
+        ]
+    )
     FLUSH_ROWS = 512  # bound worker memory: stream output, don't batch it
 
-    def fetch_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: list[dict] = []
-            for r in pdf.itertuples(index=False):
-                if len(rows) >= FLUSH_ROWS:
-                    yield pd.DataFrame(rows, columns=cols)
-                    rows = []
-                base = {
-                    "parent_url": r.url,
-                    "authority": r.authority,
-                    "doc_type": r.doc_type,
-                    "priority": r.priority,
-                    "lang": r.lang,
-                    "title": None,
-                    "release_date": None,
-                    "text": None,
-                    "content": None,
-                    "doc_hash": getattr(r, "doc_hash", None),
-                    "raw_hash": getattr(r, "raw_hash", None),
-                }
-                if r.html is None:  # P7: swallowed HTTP miss
-                    rows.append(
-                        base
-                        | {
-                            "out_kind": "log",
-                            "url": r.url,
-                            "depth": int(r.depth),
-                            "seq": int(r.seq),
-                            "status": "miss",
-                        }
-                    )
+    def fetch_extract(batches) -> "Iterator[pa.RecordBatch]":
+        # one list per output column, appended in lockstep (columnar
+        # from the start: no row dicts, no pandas frame)
+        o_kind: list = []
+        o_url: list = []
+        o_purl: list = []
+        o_auth: list = []
+        o_dt: list = []
+        o_depth: list = []
+        o_prio: list = []
+        o_seq: list = []
+        o_title: list = []
+        o_rdate: list = []
+        o_text: list = []
+        o_content: list = []
+        o_lang: list = []
+        o_status: list = []
+        o_dhash: list = []
+        o_rhash: list = []
+        outs = (
+            o_kind, o_url, o_purl, o_auth, o_dt, o_depth, o_prio, o_seq,
+            o_title, o_rdate, o_text, o_content, o_lang, o_status,
+            o_dhash, o_rhash,
+        )
+
+        def batch() -> pa.RecordBatch:
+            rb = pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(outs, out_schema)],
+                schema=out_schema,
+            )
+            for c in outs:
+                c.clear()
+            return rb
+
+        for rb_in in batches:
+            idx = {n: i for i, n in enumerate(rb_in.schema.names)}
+            n = rb_in.num_rows
+            if n == 0:
+                continue
+            urls = rb_in.column(idx["url"]).to_pylist()
+            auths = rb_in.column(idx["authority"]).to_pylist()
+            doc_types = rb_in.column(idx["doc_type"]).to_pylist()
+            depths = rb_in.column(idx["depth"]).to_pylist()
+            prios = rb_in.column(idx["priority"]).to_pylist()
+            seqs = rb_in.column(idx["seq"]).to_pylist()
+            titles = rb_in.column(idx["title"]).to_pylist()
+            rdates = rb_in.column(idx["release_date"]).to_pylist()
+            langs = rb_in.column(idx["lang"]).to_pylist()
+            dhashes = (
+                rb_in.column(idx["doc_hash"]).to_pylist()
+                if "doc_hash" in idx
+                else [None] * n
+            )
+            rhashes = (
+                rb_in.column(idx["raw_hash"]).to_pylist()
+                if "raw_hash" in idx
+                else [None] * n
+            )
+            html_at = _binary_accessor(rb_in.column(idx["html"]))
+
+            for r in range(n):
+                if len(o_kind) >= FLUSH_ROWS:
+                    yield batch()
+                url, auth = urls[r], auths[r]
+                depth, seq = depths[r], seqs[r]
+
+                def emit(
+                    kind,
+                    u,
+                    d,
+                    s,
+                    title=None,
+                    rdate=None,
+                    text=None,
+                    content=None,
+                    status="ok",
+                ):
+                    o_kind.append(kind)
+                    o_url.append(u)
+                    o_purl.append(url)
+                    o_auth.append(auth)
+                    o_dt.append(doc_types[r])
+                    o_depth.append(d)
+                    o_prio.append(prios[r])
+                    o_seq.append(s)
+                    o_title.append(title)
+                    o_rdate.append(rdate)
+                    o_text.append(text)
+                    o_content.append(content)
+                    o_lang.append(langs[r])
+                    o_status.append(status)
+                    o_dhash.append(dhashes[r])
+                    o_rhash.append(rhashes[r])
+
+                mem = html_at(r)
+                if mem is None:  # P7: swallowed HTTP miss
+                    emit("log", url, depth, seq, status="miss")
                     continue
-                html_bytes = bytes(r.html)
-                if int(r.depth) == 0:
+                if depth == 0:
                     # post-fetch-keyed profiles (slovenia): the listing
                     # has no usable title — children carry title=None
                     # and are admitted by URL; X1 keying happens after
                     # the docpage fetch (slovenia/__init__.py:179-189)
-                    tdp = bool(cfg_of(r.authority).get("title_at_docpage"))
-                    parsed = parse_listing(
-                        r.authority, r.url, html_bytes.decode("utf-8")
-                    )
+                    tdp = bool(cfg_of(auth).get("title_at_docpage"))
+                    parsed = parse_listing(auth, url, str(mem, "utf-8"))
                     for href, page_no in parsed["next_pages"]:
-                        rows.append(
-                            base
-                            | {
-                                "out_kind": "child",
-                                "url": href,
-                                "depth": 0,
-                                "seq": seq_child_page(int(r.seq), page_no),
-                                "status": "ok",
-                            }
-                        )
+                        emit("child", href, 0, seq_child_page(seq, page_no))
                     for i, (title, date_str, href) in enumerate(
                         parsed["items"], start=1
                     ):
-                        d = parse_date_str(r.authority, date_str)
-                        if not retained(r.authority, d, as_of):
+                        d = parse_date_str(auth, date_str)
+                        if not retained(auth, d, as_of):
                             continue  # P1/P2 before any fetch (§4 pushdown)
-                        rows.append(
-                            base
-                            | {
-                                "out_kind": "child",
-                                "url": href,
-                                "depth": 1,
-                                "seq": seq_child_item(int(r.seq), i),
-                                "title": None if tdp else title,
-                                "release_date": d,
-                                "status": "ok",
-                            }
+                        emit(
+                            "child",
+                            href,
+                            1,
+                            seq_child_item(seq, i),
+                            title=None if tdp else title,
+                            rdate=d,
                         )
-                    rows.append(
-                        base
-                        | {
-                            "out_kind": "log",
-                            "url": r.url,
-                            "depth": 0,
-                            "seq": int(r.seq),
-                            "status": "ok",
-                        }
-                    )
-                elif int(r.depth) == 1 and cfg_of(r.authority).get("doc_is_file"):
+                    emit("log", url, 0, seq)
+                elif depth == 1 and cfg_of(auth).get("doc_is_file"):
                     # UK / belgium: the depth-1 target IS the binary
                     # document (united_kingdom/__init__.py:135-145,
                     # belgium/__init__.py:604-661) — decode, no docpage hop
+                    html_bytes = bytes(mem)
                     try:
-                        text = decode_file(r.url, html_bytes)
+                        text = decode_file(url, html_bytes)
                         status = "ok"
                     except NotImplementedError:
                         text, status = None, "decode_unsupported"
-                    rows.append(
-                        base
-                        | {
-                            "out_kind": "doc" if status == "ok" else "log",
-                            "url": r.url,
-                            "depth": 1,
-                            "seq": int(r.seq),
-                            "title": r.title,
-                            "release_date": r.release_date,
-                            "text": text,
-                            "content": html_bytes if store_content else None,
-                            "status": status,
-                        }
+                    emit(
+                        "doc" if status == "ok" else "log",
+                        url,
+                        1,
+                        seq,
+                        title=titles[r],
+                        rdate=rdates[r],
+                        text=text,
+                        content=html_bytes if store_content else None,
+                        status=status,
                     )
-                elif int(r.depth) == 1:
-                    parsed = parse_docpage(
-                        r.authority, r.url, html_bytes.decode("utf-8")
-                    )
+                elif depth == 1:
+                    parsed = parse_docpage(auth, url, str(mem, "utf-8"))
                     for j, href in enumerate(parsed["file_links"], start=1):
-                        rows.append(
-                            base
-                            | {
-                                "out_kind": "child",
-                                "url": href,
-                                "depth": 2,
-                                "seq": seq_child_link(int(r.seq), j),
-                                "title": r.title,
-                                "release_date": r.release_date,
-                                "status": "ok",
-                            }
+                        emit(
+                            "child",
+                            href,
+                            2,
+                            seq_child_link(seq, j),
+                            title=titles[r],
+                            rdate=rdates[r],
                         )
                     if not parsed["file_links"]:
-                        rows.append(
-                            base
-                            | {
-                                "out_kind": "doc",
-                                "url": r.url,
-                                "depth": 1,
-                                "seq": int(r.seq),
-                                # post-fetch-keyed profiles surface the
-                                # docpage-extracted title here; doc_hash
-                                # stays null and rounds.py keys + admits
-                                # these rows after the fetch
-                                "title": parsed.get("title", r.title),
-                                "release_date": r.release_date,
-                                "text": parsed["text"],
-                                "content": html_bytes if store_content else None,
-                                "status": "ok",
-                            }
+                        # post-fetch-keyed profiles surface the
+                        # docpage-extracted title here; doc_hash stays
+                        # null and rounds.py keys + admits these rows
+                        # after the fetch
+                        emit(
+                            "doc",
+                            url,
+                            1,
+                            seq,
+                            title=parsed.get("title", titles[r]),
+                            rdate=rdates[r],
+                            text=parsed["text"],
+                            content=bytes(mem) if store_content else None,
                         )
                     else:
                         # marker: docpage fetched OK but its payload lives
                         # in depth-2 files — the seen-set registers the
                         # key at this point (fixtures.sequential_oracle)
-                        rows.append(
-                            base
-                            | {
-                                "out_kind": "log",
-                                "url": r.url,
-                                "depth": 1,
-                                "seq": int(r.seq),
-                                "title": r.title,
-                                "release_date": r.release_date,
-                                "status": "ok",
-                            }
+                        emit(
+                            "log",
+                            url,
+                            1,
+                            seq,
+                            title=titles[r],
+                            rdate=rdates[r],
                         )
                 elif (
-                    int(r.depth) == 2
-                    and cfg_of(r.authority).get("redirect_selector")
-                    and looks_like_html(html_bytes)
+                    depth == 2
+                    and cfg_of(auth).get("redirect_selector")
+                    and looks_like_html(bytes(mem[:256]))
                 ):
                     # EDPB alert redirect hop (edpb/__init__.py:309-340):
                     # the depth-2 page is html holding the real pdf link;
                     # emit a depth-3 child carrying the parent's seq
                     # (1:1 redirect keeps the crawl-order key unique)
-                    target = parse_redirect(
-                        r.authority, r.url, html_bytes.decode("utf-8")
-                    )
+                    target = parse_redirect(auth, url, str(mem, "utf-8"))
                     if target:
-                        rows.append(
-                            base
-                            | {
-                                "out_kind": "child",
-                                "url": target,
-                                "depth": 3,
-                                "seq": int(r.seq),
-                                "title": r.title,
-                                "release_date": r.release_date,
-                                "status": "ok",
-                            }
+                        emit(
+                            "child",
+                            target,
+                            3,
+                            seq,
+                            title=titles[r],
+                            rdate=rdates[r],
                         )
-                    rows.append(
-                        base
-                        | {
-                            "out_kind": "log",
-                            "url": r.url,
-                            "depth": 2,
-                            "seq": int(r.seq),
-                            "title": r.title,
-                            "release_date": r.release_date,
-                            "status": "ok" if target else "redirect_parse_failed",
-                        }
+                    emit(
+                        "log",
+                        url,
+                        2,
+                        seq,
+                        title=titles[r],
+                        rdate=rdates[r],
+                        status="ok" if target else "redirect_parse_failed",
                     )
                 else:  # depth >= 2: binary file
+                    html_bytes = bytes(mem)
                     try:
-                        text = decode_file(r.url, html_bytes)
+                        text = decode_file(url, html_bytes)
                         status = "ok"
                     except NotImplementedError:
                         text, status = None, "decode_unsupported"
-                    rows.append(
-                        base
-                        | {
-                            "out_kind": "doc" if status == "ok" else "log",
-                            "url": r.url,
-                            "depth": int(r.depth),
-                            "seq": int(r.seq),
-                            "title": r.title,
-                            "release_date": r.release_date,
-                            "text": text,
-                            "content": html_bytes if store_content else None,
-                            "status": status,
-                        }
+                    emit(
+                        "doc" if status == "ok" else "log",
+                        url,
+                        depth,
+                        seq,
+                        title=titles[r],
+                        rdate=rdates[r],
+                        text=text,
+                        content=html_bytes if store_content else None,
+                        status=status,
                     )
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
+        if o_kind:
+            yield batch()
 
     return fetch_extract

@@ -608,7 +608,7 @@ class CrawlRun:
         # COLUMN-PRUNED reads — the slim consumers never touch the
         # payload columns at all.  store_content=False is applied inside
         # the UDF so payload bytes never cross the Arrow boundary.
-        out_raw = hits.mapInPandas(
+        out_raw = hits.mapInArrow(
             make_fetch_extract(self.as_of, self.store_content), EXTRACT_OUT
         )
         scratch = os.path.join(self.state_dir, "scratch", f"round-{round_id}")
