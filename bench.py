@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "citations",
     "keywords_topk",
     "json_props",
+    "cluster_assign",
+    "kmeans_clusters",
 ]
 
 

@@ -498,31 +498,33 @@ def kmeans_lloyd(
 
     Output: (id_col, cluster: bigint, d2: double).
     """
+    spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
     cents = frozen_centroids(emb, centroid_ids, id_col, vec_col)
+    mean_cols = F.array(
+        *[
+            F.round(
+                F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")), 9
+            )
+            for i in range(dim)
+        ]
+    ).alias("cvec")
     for _ in range(iters):
         a = centroid_assign(emb, cents, id_col, vec_col).select(
             id_col, F.col("cluster_id").alias("cid")
         )
-        cents = (
+        # k rows of k x dim rounded means: a bounded driver probe (same
+        # budget class as the IVF fit sample) that TRUNCATES the lineage
+        # — without it the logical plan doubles per iteration and
+        # analysis dominates; with it each iteration is exactly one
+        # corpus scan + a k-group partial agg at any corpus size
+        rows = (
             a.join(emb.select(id_col, vec_col), id_col)
             .groupBy("cid")
-            .agg(
-                F.array(
-                    *[
-                        F.round(
-                            F.avg(
-                                F.element_at(F.col(vec_col), i + 1).cast(
-                                    "double"
-                                )
-                            ),
-                            9,
-                        )
-                        for i in range(dim)
-                    ]
-                ).alias("cvec")
-            )
+            .agg(mean_cols)
+            .collect()
         )
+        cents = spark.createDataFrame(rows, "cid long, cvec array<double>")
     return centroid_assign(emb, cents, id_col, vec_col).select(
         id_col, F.col("cluster_id").alias("cluster"), "d2"
     )
