@@ -46,7 +46,7 @@ re-admission key, so a re-pend survives its own tombstone without
 sequence numbers.
 
 html bytes never enter a shuffle: they come off the ``pages`` scan side
-of the fetch join and are consumed immediately by the mapInPandas stage
+of the fetch join and are consumed immediately by the mapInArrow stage
 (column pruning keeps them out of everything else).
 """
 
