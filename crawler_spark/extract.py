@@ -27,7 +27,7 @@ File decoding (X3-X6): pdfminer/docx2txt/striprtf are not in this
 sandbox, so each decoder first import-tries the real library and
 otherwise decodes the deterministic FAKE container the fixture generator
 emits (header + UTF-8 payload).  The Spark-side plumbing — binary
-column, Arrow batches, one ``mapInPandas`` pass over html — is real and
+column, Arrow batches, one ``mapInArrow`` pass over html — is real and
 is what the engine tests; the library call is the swappable leaf.
 """
 
@@ -1346,7 +1346,7 @@ def seq_child_link(parent_seq: int, link_idx: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# the Spark stage: one mapInPandas over (frontier ⋈ pages) rows
+# the Spark stage: one mapInArrow over (frontier ⋈ pages) rows
 # ---------------------------------------------------------------------------
 
 EXTRACT_OUT = T.StructType(
