@@ -65,8 +65,52 @@ from . import frontier as FR
 from . import schema as S
 from . import seen as SN
 from . import urls
+from pyspark.sql import types as T
+
 from .extract import EXTRACT_OUT, LINK_BITS, MAX_LINK, make_fetch_extract
 from .tables import MorTable, SnapshotTable
+
+# Scratch layout: EXTRACT_OUT plus row-local columns the sinks need —
+# text_len (slim consumers account payload bytes without decompressing
+# the payload column), final_key (the documents key incl. the
+# '#<link_idx>' multi-file suffix, fixtures oracle), batch_id (constant
+# per round, stored so every adopted part reads in ONE multi-path scan)
+# — and a sink partition column splitting doc-destined payload rows
+# from everything else, so the documents table can adopt the heavy
+# partition by rename instead of rewriting it.
+SCRATCH_FILE = T.StructType(
+    list(EXTRACT_OUT.fields)
+    + [
+        T.StructField("text_len", T.LongType(), True),
+        T.StructField("final_key", T.StringType(), True),
+        T.StructField("batch_id", T.LongType(), False),
+    ]
+)
+SCRATCH_OUT = T.StructType(
+    list(SCRATCH_FILE.fields) + [T.StructField("sink", T.StringType(), False)]
+)
+
+
+def docs_from_extract_parts(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Documents-schema view of adopted ``sink=doc`` scratch parts.
+
+    Must stay value-identical to the projection the plain append path
+    writes (and wrote historically): mixed manifests — plain parts from
+    rollbacks/compactions next to adopted parts — union to one frame."""
+    df = spark.read.schema(SCRATCH_FILE).parquet(*paths)
+    return df.select(
+        F.col("final_key").alias("doc_hash"),
+        "authority",
+        "doc_type",
+        "url",
+        F.create_map(F.col("lang"), F.col("title")).alias("title"),
+        "release_date",
+        "lang",
+        "content",
+        "text",
+        "batch_id",
+        "seq",
+    )
 
 
 class CrawlRun:
@@ -178,6 +222,7 @@ class CrawlRun:
         # common case (brand-new child URL) never joins the big frontier
         self.url_bloom = t("url_bloom", S.SEEN_BLOOM)
         self.documents = t("documents", S.DOCUMENTS)
+        self.documents.layout_readers["extract_v1"] = docs_from_extract_parts
         self.fetch_log = t("fetch_log", S.FETCH_LOG)
         self.lineage = t("lineage", S.LINEAGE)
         self.metrics = t("metrics", S.METRICS)
@@ -606,14 +651,36 @@ class CrawlRun:
         # of it OOMs the heap.  Parquet scratch gives every downstream
         # consumer (documents, seen, states, logs, metrics, expansion)
         # COLUMN-PRUNED reads — the slim consumers never touch the
-        # payload columns at all.  store_content=False is applied inside
-        # the UDF so payload bytes never cross the Arrow boundary.
+        # payload columns at all (text_len carries their byte
+        # accounting).  store_content=False is applied inside the UDF so
+        # payload bytes never cross the Arrow boundary.
+        #
+        # The write is partitioned by destiny: ``sink=doc`` holds
+        # exactly the rows the documents table will commit — BY RENAME
+        # (adopt_part), not by reading the payload back and re-writing
+        # it — and already carries their final keys and batch_id;
+        # ``sink=rest`` holds children/log rows for the slim consumers.
+        # (The reference also writes each document's bytes exactly once,
+        # pygdpr/models/dpa/austria/__init__.py:127-148.)
         out_raw = hits.mapInArrow(
             make_fetch_extract(self.as_of, self.store_content), EXTRACT_OUT
         )
+        is_doc_sink = (F.col("out_kind") == "doc") & F.col("doc_hash").isNotNull()
+        link_idx = F.col("seq").bitwiseAND(F.lit(MAX_LINK))
+        final_key = F.when(
+            (F.col("depth") >= 2) & (link_idx > 1),
+            F.concat(F.col("doc_hash"), F.lit("#"), link_idx.cast("string")),
+        ).otherwise(F.col("doc_hash"))
+        enriched = out_raw.select(
+            "*",
+            F.length("text").cast("long").alias("text_len"),
+            F.when(is_doc_sink, final_key).alias("final_key"),
+            F.lit(round_id).cast("long").alias("batch_id"),
+            F.when(is_doc_sink, F.lit("doc")).otherwise(F.lit("rest")).alias("sink"),
+        )
         scratch = os.path.join(self.state_dir, "scratch", f"round-{round_id}")
-        out_raw.write.mode("overwrite").parquet(scratch)
-        out_hits = spark.read.schema(EXTRACT_OUT).parquet(scratch)
+        enriched.write.partitionBy("sink").mode("overwrite").parquet(scratch)
+        out_hits = spark.read.schema(SCRATCH_OUT).parquet(scratch)
         tick("fetch_extract")
 
         # 4a. expansion: depth-0 listing children — URL-level dedupe
@@ -695,23 +762,9 @@ class CrawlRun:
 
         # 5. documents: depth-1 doc rows + decoded depth-2 files; within a
         #    docpage, files >1 get '#<link_idx>' keys (fixtures oracle).
-        #    Derived from out_hits (not the union): misses are never docs,
-        #    and keeping the miss branch out of this plan stops Catalyst
-        #    constant-folding create_map(NULL,...) -> NULL_MAP_KEY.
-        docs = out_hits.filter(
-            (F.col("out_kind") == "doc") & F.col("doc_hash").isNotNull()
-        ).withColumn(
-            "final_key",
-            F.when(
-                (F.col("depth") >= 2)
-                & ((F.col("seq").bitwiseAND(F.lit(MAX_LINK))) > 1),
-                F.concat(
-                    F.col("doc_hash"),
-                    F.lit("#"),
-                    (F.col("seq").bitwiseAND(F.lit(MAX_LINK))).cast("string"),
-                ),
-            ).otherwise(F.col("doc_hash")),
-        )
+        #    The ``sink=doc`` scratch partition IS this set, final keys
+        #    included — the table adopts its files by rename after the
+        #    commit window below (no payload read-back, no re-write).
         # post-fetch-keyed docs (slovenia): the title — and therefore the
         # X1 md5 key — only exists after the docpage fetch
         # (slovenia/__init__.py:179-189).  Key now, then admit: first
@@ -741,19 +794,22 @@ class CrawlRun:
             post = SN.anti_join_probe(
                 post, self.seen.read(spark).select("doc_hash"), "doc_hash"
             ).withColumn("final_key", F.col("doc_hash"))
-            docs = docs.unionByName(post)
-        doc_rows = docs.select(
-            F.col("final_key").alias("doc_hash"),
-            "authority",
-            "doc_type",
-            "url",
-            F.create_map(F.col("lang"), F.col("title")).alias("title"),
-            "release_date",
-            "lang",
-            "content",
-            "text",
-            F.lit(round_id).cast("long").alias("batch_id"),
-            "seq",
+        post_doc_rows = (
+            post.select(
+                F.col("final_key").alias("doc_hash"),
+                "authority",
+                "doc_type",
+                "url",
+                F.create_map(F.col("lang"), F.col("title")).alias("title"),
+                "release_date",
+                "lang",
+                "content",
+                "text",
+                F.lit(round_id).cast("long").alias("batch_id"),
+                "seq",
+            )
+            if post is not None
+            else None
         )
 
         # 6. seen delta: every depth-1 docpage fetched OK registers its
@@ -804,7 +860,7 @@ class CrawlRun:
                     "url_hash"
                 ),
                 "status",
-                F.length(F.col("text")).cast("long").alias("bytes"),
+                F.col("text_len").alias("bytes"),
             )
             .dropDuplicates(["url_hash"])
         )
@@ -880,7 +936,7 @@ class CrawlRun:
                 F.when(F.col("out_kind").isin("doc", "log"), 1).otherwise(0)
             ).alias("sched_hits"),
             F.sum(
-                F.when(F.col("text").isNotNull(), F.length("text")).otherwise(0)
+                F.when(F.col("text_len").isNotNull(), F.col("text_len")).otherwise(0)
             ).alias("bytes_extracted"),
         )
         miss_agg = (
@@ -926,7 +982,15 @@ class CrawlRun:
                 # the metrics aggregation doubles as the round's doc
                 # count — one job, collected concurrently with the writes
                 f_met = ex.submit(met.collect)
-                f_docs = ex.submit(self.documents.append, doc_rows, note)
+                # documents: only the (rare) post-fetch-keyed rows need a
+                # real write — the bulk doc payload is adopted from the
+                # scratch partition by rename once every consumer of the
+                # scratch files has finished scanning them (below)
+                f_docs = (
+                    ex.submit(self.documents.append, post_doc_rows, note)
+                    if post_doc_rows is not None
+                    else None
+                )
                 f_seen = ex.submit(
                     self.seen.append_read, spark, seen_delta, note
                 )
@@ -948,13 +1012,24 @@ class CrawlRun:
                     self._shard_counts,
                     add_read.filter(F.col("retry_count") == 0),
                 )
-                f_docs.result()
+                if f_docs is not None:
+                    f_docs.result()
                 _, seen_read = f_seen.result()
                 f_log.result()
                 f_done.result()
                 delta_by_shard = f_shards.result()
                 f_metrics.result()
             n_new = sum(delta_by_shard.values())
+            # adopt the round's doc payload into the documents table by
+            # RENAME — driver-side metadata only (footer row counts +
+            # manifest append).  Strictly after the commit window: every
+            # Spark job scanning the scratch files has completed, so no
+            # task can race the rename; strictly before lineage, which
+            # records the documents snapshot id.  A zero-doc round
+            # writes no ``sink=doc`` partition — nothing to adopt.
+            doc_part_dir = os.path.join(scratch, "sink=doc")
+            if os.path.isdir(doc_part_dir):
+                self.documents.adopt_part(doc_part_dir, note, "extract_v1")
             tick("commits")
             if bloom_active:
                 self._bloom_commit(

@@ -64,6 +64,12 @@ class SnapshotTable:
     def __init__(self, root: str, schema: T.StructType):
         self.root = root
         self.schema = schema
+        # adopted-part readers: layout tag -> fn(spark, [abs_paths])
+        # returning a DataFrame in ``schema``.  Lets a part written by an
+        # upstream stage in its own physical layout join the table by
+        # RENAME instead of a full rewrite (Iceberg's add_files shape);
+        # the owner registers the projection for each layout it adopts.
+        self.layout_readers: dict = {}
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -167,6 +173,32 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame, note: str = "overwrite") -> str:
         return self._commit([self._new_entry(self._write_part(df))], note)
 
+    def adopt_part(self, src_dir: str, note: str, layout: str, **meta) -> str:
+        """Commit an already-materialized parquet directory as a new part
+        by RENAME — zero data movement (Iceberg's ``add_files`` shape).
+
+        The files keep the layout their producer wrote (``layout`` tags
+        the manifest entry); ``read()`` maps them into the table schema
+        through the registered ``layout_readers[layout]`` projection.
+        This is what lets the round's one heavy payload write double as
+        the documents part instead of being read back, decompressed and
+        re-written (the reference writes each document's files exactly
+        once too — pygdpr/models/dpa/austria/__init__.py:127-148)."""
+        import shutil
+
+        part = os.path.join("data", uuid.uuid4().hex)
+        dst = os.path.join(self.root, part)
+        try:
+            os.rename(src_dir, dst)
+        except OSError:  # cross-device state layouts: fall back to copy
+            shutil.move(src_dir, dst)
+        entry = self._new_entry(part)
+        entry["layout"] = layout
+        entry.update(meta)
+        parts = list(self._current_parts())
+        parts.append(entry)
+        return self._commit(parts, note)
+
     # -- reads ----------------------------------------------------------------
 
     def _current_parts(self) -> list:
@@ -179,8 +211,26 @@ class SnapshotTable:
         parts = self._read_manifest(sid)["parts"] if sid else []
         if not parts:
             return spark.createDataFrame([], self.schema)
-        paths = [os.path.join(self.root, _entry_path(p)) for p in parts]
-        return spark.read.schema(self.schema).parquet(*paths)
+        plain = [p for p in parts if not (isinstance(p, dict) and p.get("layout"))]
+        adopted = [p for p in parts if isinstance(p, dict) and p.get("layout")]
+        scans = []
+        if plain:
+            paths = [os.path.join(self.root, _entry_path(p)) for p in plain]
+            scans.append(spark.read.schema(self.schema).parquet(*paths))
+        # all adopted parts of one layout read as ONE multi-path scan —
+        # the plan stays O(layouts), not O(rounds)
+        by_layout: dict[str, list] = {}
+        for p in adopted:
+            by_layout.setdefault(p["layout"], []).append(p)
+        for layout, ps in by_layout.items():
+            reader = self.layout_readers[layout]
+            scans.append(
+                reader(spark, [os.path.join(self.root, _entry_path(p)) for p in ps])
+            )
+        df = scans[0]
+        for s in scans[1:]:
+            df = df.unionByName(s)
+        return df
 
 
 class MorTable(SnapshotTable):
