@@ -32,7 +32,7 @@ GOOD = {
     "PushedFilters": r"PushedFilters: \[[^\]]",
     "BroadcastHashJoin": r"BroadcastHashJoin",
     "partial_agg": r"HashAggregate.*partial",
-    "ArrowEval(vectorized python)": r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas",
+    "ArrowEval(vectorized python)": r"ArrowEvalPython|MapInPandas|MapInArrow|PythonMapInArrow|FlatMapGroupsInPandas",
 }
 BAD = {
     "CartesianProduct(non-broadcast)": r"CartesianProduct",
