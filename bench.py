@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "text_quality",
     "text_tokens",
     "text_pii_scrub",
+    "text_quality_gopher",
+    "text_repetition",
+    "dedup_span",
+    "url_frontier_filter",
     "contamination_check",
     "sample_stratified",
     "shard_pack",

@@ -829,3 +829,227 @@ def shard_pack(docs: DataFrame, tokens_per_shard: int = 4096) -> DataFrame:
             .alias("shard_offset"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Webtext quality gates (Gopher rules), repetition signals, span dedup
+# ---------------------------------------------------------------------------
+
+#: the 8 "required word" stopwords from the Gopher quality rules
+#: (Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A1.1 —
+#: public paper; the reference has no corpus-quality stage at all, its
+#: closest analog is the per-document statistics service
+#: pygdpr/services/statistics_service.py).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: bullet glyphs that mark a list line (leading) / ellipsis forms (trailing)
+_BULLET_RE = "^[-*•]"
+_ELLIPSIS_RE = "(\\\\.\\\\.\\\\.|…)$"
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-rule document quality gate for webtext corpora.
+
+    Computes the per-document signals of the Gopher data pipeline's
+    quality filter and the combined keep/drop verdict, entirely with
+    built-in SQL expressions (one whole-stage-codegen projection, zero
+    shuffle — at 100 TB this pins to the parquet scan):
+
+    - ``n_words`` in [50, 100000]
+    - ``mean_word_len`` in [3, 10]
+    - ``sym_ratio`` (occurrences of '#' or '...' per word) <= 0.1
+    - ``frac_alpha_words`` (words containing a letter) >= 0.80
+    - ``n_stop_hits`` (how many of the 8 required stopwords appear) >= 2
+    - ``frac_bullet_lines`` (lines starting with a bullet) <= 0.90
+    - ``frac_ellipsis_lines`` (lines ending with an ellipsis) <= 0.30
+
+    Ratios are rounded to 4 places BEFORE thresholding so the verdict
+    is reproducible bit-for-bit in any engine that rounds half-up.
+    Documents with no tokens are dropped (they fail the word-count rule
+    by definition and keep the ratio expressions total).
+
+    Output: (doc_id, n_words, mean_word_len, frac_alpha_words,
+    sym_ratio, n_stop_hits, frac_bullet_lines, frac_ellipsis_lines,
+    keep:boolean).
+    """
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    d = (
+        docs.filter(F.trim("text") != "")
+        .transform(with_tokens)
+        .withColumn("lines", F.split("text", "\n"))
+        .withColumn("n_words", F.size("tokens").cast("bigint"))
+        .withColumn("n_lines", F.size("lines"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            "n_words",
+            F.round(
+                F.expr(
+                    "aggregate(tokens, cast(0 as bigint),"
+                    " (acc, t) -> acc + length(t))"
+                )
+                / F.col("n_words"),
+                4,
+            ).alias("mean_word_len"),
+            F.round(
+                F.expr("size(filter(tokens, t -> t rlike '[A-Za-z]'))")
+                / F.col("n_words"),
+                4,
+            ).alias("frac_alpha_words"),
+            F.round(
+                F.expr("size(regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0))")
+                / F.col("n_words"),
+                4,
+            ).alias("sym_ratio"),
+            F.expr(
+                f"size(filter(array({stops}), w -> array_contains(tokens, w)))"
+            )
+            .cast("bigint")
+            .alias("n_stop_hits"),
+            F.round(
+                F.expr(
+                    f"size(filter(lines, l -> trim(l) rlike '{_BULLET_RE}'))"
+                )
+                / F.col("n_lines"),
+                4,
+            ).alias("frac_bullet_lines"),
+            F.round(
+                F.expr(
+                    f"size(filter(lines, l -> trim(l) rlike '{_ELLIPSIS_RE}'))"
+                )
+                / F.col("n_lines"),
+                4,
+            ).alias("frac_ellipsis_lines"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("n_words") >= 50)
+            & (F.col("n_words") <= 100000)
+            & (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0)
+            & (F.col("sym_ratio") <= 0.1)
+            & (F.col("frac_alpha_words") >= 0.8)
+            & (F.col("n_stop_hits") >= 2)
+            & (F.col("frac_bullet_lines") <= 0.9)
+            & (F.col("frac_ellipsis_lines") <= 0.3),
+        )
+    )
+
+
+def ngram_repetition(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals: how much of each document is
+    covered by repeated word n-grams.
+
+    Overlapping (not distinct) n-grams are exploded and counted per
+    (doc, gram); per doc the operator reports the duplicate-occurrence
+    fraction ``1 - distinct/total`` and the character mass of the most
+    frequent gram ``max_count * length(top_gram) / length(text)``
+    (Gopher's "fraction of characters in the most frequent n-gram" —
+    can exceed 1 for overlapping grams, it is a signal not a
+    probability).  Ties on max count break to the lexicographically
+    SMALLEST gram so the answer is engine-independent.
+
+    Scale: the explode is map-side; the per-(doc, gram) count shuffles
+    once on uniformly distributed keys with map-side partial
+    aggregation; the per-doc max is a window PARTITIONED BY doc_id whose
+    hash partitioning is then REUSED by the final per-doc aggregation
+    (no third exchange, and no self-join that would recompute the gram
+    counts — two exchanges total, each carrying per-(doc, gram) partial
+    counts, never the token stream).  Documents with fewer than ``n``
+    tokens have no n-grams and are excluded.
+
+    Output: (doc_id, n_grams, n_distinct, dup_frac, top_gram, top_frac).
+    """
+    d = with_tokens(docs).withColumn("n_chars", F.length("text").cast("bigint"))
+    grams = (
+        f"transform({seq1(f'size(tokens) - {n - 1}')}, "
+        f"i -> concat_ws(' ', slice(tokens, i, {n})))"
+    )
+    e = d.select(
+        "doc_id", "n_chars", F.explode(F.expr(grams)).alias("gram")
+    )
+    g = e.groupBy("doc_id", "n_chars", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("doc_id")
+    g2 = g.withColumn("__mx", F.max("cnt").over(w))
+    return (
+        g2.groupBy("doc_id")
+        .agg(
+            F.max("n_chars").alias("n_chars"),
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("__mx").alias("__mx"),
+            F.min(F.when(F.col("cnt") == F.col("__mx"), F.col("gram"))).alias(
+                "top_gram"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 4).alias(
+                "dup_frac"
+            ),
+            "top_gram",
+            F.round(
+                F.col("__mx") * F.length("top_gram") / F.col("n_chars"), 4
+            ).alias("top_frac"),
+        )
+    )
+
+
+def span_dedup(docs: DataFrame, span: int = 10) -> DataFrame:
+    """Corpus-level span deduplication (the C4 pipeline's
+    "three-sentence span" dedup, re-expressed over fixed token windows
+    so it is deterministic on any text — public method, Raffel et al.
+    2020 §2.2; the reference dedups whole documents only, via the
+    within-run key suffix at pygdpr/models/dpa/…/__init__.py).
+
+    The text is cut into non-overlapping ``span``-token windows; every
+    window that already occurred anywhere earlier in the corpus (in
+    (doc_id, span_idx) order) is dropped; the first occurrence is kept.
+    Per document the operator reports how many spans survived and the
+    md5 of the deduplicated text, so a single wrongly-kept or
+    wrongly-dropped span is detectable without shipping the text.
+
+    Scale: one explode (map-side), one window over the span STRING key
+    (uniformly distributed for natural text; the canonical-occurrence
+    rank is a row_number, so map tasks carry (span, doc_id, idx) rows
+    only), one groupBy doc_id.  No driver-side step.
+
+    Output: (doc_id, n_spans, n_dup_spans, clean_md5).
+    """
+    n_spans = f"cast(ceil(size(tokens) / {span}.0) as int)"
+    spans = (
+        f"transform({seq1(n_spans)}, "
+        f"i -> concat_ws(' ', slice(tokens, (i-1)*{span} + 1, {span})))"
+    )
+    e = with_tokens(docs).select(
+        "doc_id", F.posexplode(F.expr(spans)).alias("idx", "span_text")
+    )
+    w = Window.partitionBy("span_text").orderBy("doc_id", "idx")
+    kept = e.withColumn("rn", F.row_number().over(w))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum((F.col("rn") > 1).cast("long"))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        " ",
+                        F.expr(
+                            "transform(array_sort(collect_list("
+                            "  case when rn = 1 then struct(idx, span_text) end"
+                            ")), x -> x.span_text)"
+                        ),
+                    ),
+                    "UTF-8",
+                )
+            ).alias("clean_md5"),
+        )
+    )

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import corpus, metadata, multimodal, similarity, streaming
+from . import urls as urls_mod
 
 # -- DuckDB-side twins of the Spark expression fragments --------------------
 
@@ -624,6 +625,215 @@ SELECT doc_id,
   cast(len({DUCK_TOKENS}) as bigint) AS ws_tokens,
   cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as bigint) AS bpe_tokens
 FROM documents
+"""
+
+
+def _gopher_augmented(spark, sf_dir):
+    """documents with deterministic structure planted per doc_id % 6 so
+    every Gopher rule exercises both branches (the synthetic corpus has
+    no newlines/bullets/symbols): 0 -> bullet lines past the 0.9 cap,
+    1 -> ellipsis lines past 0.3, 2 -> '#' symbols past the 0.1 ratio,
+    3 -> all 8 required stopwords (keeps), 4 -> 60 numeric words
+    (frac_alpha below 0.8), 5 -> untouched.  Same CASE in the oracle."""
+    aug = F.expr(
+        "case cast(doc_id % 6 as int) "
+        "when 0 then concat(text,"
+        " '\n- one\n- two\n- three\n- four\n- five"
+        "\n- six\n- seven\n- eight\n- nine\n- ten') "
+        "when 1 then concat(text, '\nwait...\nmore...') "
+        "when 2 then concat(text, ' ', repeat('# ', 20)) "
+        "when 3 then concat(text, ' the be to of and that have with') "
+        "when 4 then concat(text, ' ', repeat('0 ', 60)) "
+        "else text end"
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", aug.alias("text"))
+
+
+_DUCK_GOPHER_AUG = (
+    "SELECT doc_id, CASE cast(doc_id % 6 as int)"
+    " WHEN 0 THEN text || chr(10) || '- one' || chr(10) || '- two'"
+    "   || chr(10) || '- three' || chr(10) || '- four' || chr(10) || '- five'"
+    "   || chr(10) || '- six' || chr(10) || '- seven' || chr(10) || '- eight'"
+    "   || chr(10) || '- nine' || chr(10) || '- ten'"
+    " WHEN 1 THEN text || chr(10) || 'wait...' || chr(10) || 'more...'"
+    " WHEN 2 THEN text || ' ' || repeat('# ', 20)"
+    " WHEN 3 THEN text || ' the be to of and that have with'"
+    " WHEN 4 THEN text || ' ' || repeat('0 ', 60)"
+    " ELSE text END AS text FROM documents"
+)
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule webtext quality gate (corpus.gopher_quality): the 7
+    per-document signals + the combined keep verdict, thresholds applied
+    to 4-place-rounded ratios so the verdict is engine-exact."""
+    return corpus.gopher_quality(_gopher_augmented(spark, sf_dir))
+
+
+_DUCK_GOPHER_STOPS = ", ".join(f"'{w}'" for w in corpus.GOPHER_STOPWORDS)
+
+ORACLE_GOPHER = f"""
+WITH a AS ({_DUCK_GOPHER_AUG}),
+t AS (SELECT doc_id, text, {DUCK_TOKENS} AS tokens,
+        str_split(text, chr(10)) AS lines
+      FROM a WHERE trim(text) <> ''),
+q AS (SELECT doc_id,
+    cast(len(tokens) as bigint) AS n_words,
+    round(list_aggregate(list_transform(tokens, x -> length(x)), 'sum') / len(tokens), 4) AS mean_word_len,
+    round(len(list_filter(tokens, x -> regexp_matches(x, '[A-Za-z]'))) / len(tokens), 4) AS frac_alpha_words,
+    round(len(regexp_extract_all(text, '#|\\.\\.\\.')) / len(tokens), 4) AS sym_ratio,
+    cast(len(list_filter([{_DUCK_GOPHER_STOPS}], w -> list_contains(tokens, w))) as bigint) AS n_stop_hits,
+    round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) / len(lines), 4) AS frac_bullet_lines,
+    round(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) / len(lines), 4) AS frac_ellipsis_lines
+  FROM t)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND sym_ratio <= 0.1 AND frac_alpha_words >= 0.8
+   AND n_stop_hits >= 2 AND frac_bullet_lines <= 0.9
+   AND frac_ellipsis_lines <= 0.3) AS keep
+FROM q
+"""
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher repetition signals over word bigrams
+    (corpus.ngram_repetition, n=2)."""
+    return corpus.ngram_repetition(_t(spark, sf_dir, "documents"), n=2)
+
+
+ORACLE_REPETITION = f"""
+WITH t AS (SELECT doc_id, cast(length(text) as bigint) AS n_chars,
+             {DUCK_TOKENS} AS tokens FROM documents),
+g0 AS (SELECT doc_id, n_chars,
+         unnest(list_transform(generate_series(1, greatest(len(tokens) - 1, 0)),
+                               i -> tokens[i] || ' ' || tokens[i+1])) AS gram
+       FROM t),
+g AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g0 GROUP BY 1, 2, 3),
+m AS (SELECT doc_id, n_chars, sum(cnt) AS n_grams, count(*) AS n_distinct,
+        max(cnt) AS mx FROM g GROUP BY 1, 2),
+top AS (SELECT g.doc_id, min(gram) AS top_gram
+        FROM g JOIN m USING (doc_id) WHERE g.cnt = m.mx GROUP BY 1)
+SELECT m.doc_id,
+  cast(n_grams as bigint) AS n_grams,
+  cast(n_distinct as bigint) AS n_distinct,
+  round(1.0 - n_distinct / n_grams, 4) AS dup_frac,
+  top_gram,
+  round(mx * length(top_gram) / n_chars, 4) AS top_frac
+FROM m JOIN top ON m.doc_id = top.doc_id
+"""
+
+
+def q_span_dedup(spark, sf_dir):
+    """C4-style corpus-level span dedup (corpus.span_dedup, 10-token
+    windows); the md5 of each doc's deduplicated text makes one
+    wrongly-kept/dropped span fail the hash gate."""
+    return corpus.span_dedup(_t(spark, sf_dir, "documents"), span=10)
+
+
+ORACLE_SPAN_DEDUP = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents),
+s AS (SELECT doc_id, i AS idx,
+        array_to_string(tokens[(i-1)*10+1:i*10], ' ') AS span_text
+      FROM t, UNNEST(generate_series(1, cast(ceil(len(tokens)/10.0) as int))) AS u(i)),
+r AS (SELECT doc_id, idx, span_text,
+        row_number() OVER (PARTITION BY span_text ORDER BY doc_id, idx) AS rn
+      FROM s)
+SELECT doc_id,
+  cast(count(*) as bigint) AS n_spans,
+  cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_spans,
+  md5(coalesce(string_agg(span_text, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')) AS clean_md5
+FROM r GROUP BY doc_id
+"""
+
+
+def q_url_frontier_filter(spark, sf_dir):
+    """Frontier-side URL hygiene gate (urls.url_quality_filter): URLs
+    synthesized from orders keys so every reject rule fires, including
+    the first-match precedence (class 3 is both too_long AND too_deep;
+    the reason must be too_long)."""
+    k = F.col("o_orderkey")
+    url = (
+        F.when(k % 7 == 0, F.lit("ftp://host.example.com/doc"))
+        .when(k % 7 == 1, F.lit("https://bad.example.com/page"))
+        .when(
+            k % 7 == 2,
+            F.concat(
+                F.lit("https://h"), (k % 50).cast("string"),
+                F.lit(".example.com/img.png"),
+            ),
+        )
+        .when(
+            k % 7 == 3,
+            F.concat(F.lit("https://h.example.com/"), F.expr("repeat('p/', 130)")),
+        )
+        .when(k % 7 == 4, F.lit("https://h.example.com/a/b/c/d/e/f/g/h/i/x"))
+        .when(k % 7 == 5, F.lit("https://h.example.com/p?a=1&b=2&c=3&d=4&e=5"))
+        .otherwise(
+            F.concat(
+                F.lit("https://h"), (k % 50).cast("string"),
+                F.lit(".example.com/docs/page-"), k.cast("string"),
+                F.lit(".html"),
+            )
+        )
+    )
+    frontier = _t(spark, sf_dir, "orders").select(
+        k.alias("url_id"), url.alias("url")
+    )
+    return urls_mod.url_quality_filter(
+        frontier, blocked_hosts=("bad.example.com",)
+    ).select("url_id", "url", "reject_reason", "keep")
+
+
+ORACLE_URL_FILTER = """
+WITH f AS (
+  SELECT o_orderkey AS url_id,
+    CASE cast(o_orderkey % 7 as int)
+      WHEN 0 THEN 'ftp://host.example.com/doc'
+      WHEN 1 THEN 'https://bad.example.com/page'
+      WHEN 2 THEN 'https://h' || cast(o_orderkey % 50 as varchar) || '.example.com/img.png'
+      WHEN 3 THEN 'https://h.example.com/' || repeat('p/', 130)
+      WHEN 4 THEN 'https://h.example.com/a/b/c/d/e/f/g/h/i/x'
+      WHEN 5 THEN 'https://h.example.com/p?a=1&b=2&c=3&d=4&e=5'
+      ELSE 'https://h' || cast(o_orderkey % 50 as varchar)
+        || '.example.com/docs/page-' || cast(o_orderkey as varchar) || '.html'
+    END AS url
+  FROM orders),
+p AS (
+  SELECT url_id, url,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM f),
+e AS (
+  SELECT *,
+    lower(regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1)) AS ext,
+    length(path) - length(replace(path, '/', '')) AS depth,
+    CASE WHEN query = '' THEN 0
+         ELSE length(query) - length(replace(query, '&', '')) + 1 END AS n_params
+  FROM p)
+SELECT url_id, url,
+  CASE
+    WHEN NOT regexp_matches(url, '^https?://') THEN 'scheme'
+    WHEN list_contains(['bad.example.com'], host) THEN 'blocked_host'
+    WHEN list_contains(['jpg','jpeg','png','gif','svg','ico','css','js',
+                        'woff','woff2','ttf','mp3','mp4','avi','exe','dmg'], ext)
+      THEN 'bad_ext'
+    WHEN length(url) > 256 THEN 'too_long'
+    WHEN depth > 8 THEN 'too_deep'
+    WHEN n_params > 4 THEN 'too_many_params'
+  END AS reject_reason,
+  (CASE
+    WHEN NOT regexp_matches(url, '^https?://') THEN 'scheme'
+    WHEN list_contains(['bad.example.com'], host) THEN 'blocked_host'
+    WHEN list_contains(['jpg','jpeg','png','gif','svg','ico','css','js',
+                        'woff','woff2','ttf','mp3','mp4','avi','exe','dmg'], ext)
+      THEN 'bad_ext'
+    WHEN length(url) > 256 THEN 'too_long'
+    WHEN depth > 8 THEN 'too_deep'
+    WHEN n_params > 4 THEN 'too_many_params'
+  END) IS NULL AS keep
+FROM e
 """
 
 
@@ -1710,6 +1920,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_pii_scrub": q_pii_scrub,
+    "text_quality_gopher": q_gopher_quality,
+    "url_frontier_filter": q_url_frontier_filter,
     "doc_statistics": q_doc_statistics,
     "doc_keys": q_doc_keys,
     "join_lines": q_join_lines,
@@ -1748,6 +1960,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "skew_salted_agg": q_skew_salted_agg,
     # -- heavier shuffles / n-gram explodes / simulations --------------------
+    "text_repetition": q_text_repetition,
+    "dedup_span": q_span_dedup,
     "keywords_topk": q_keywords_topk,
     "keywords_full": q_keywords_full,
     "timeline_full": q_timeline_full,
@@ -1789,6 +2003,10 @@ ORACLES = {
     "text_quality": ORACLE_QUALITY,
     "text_tokens": ORACLE_TOKENS,
     "text_pii_scrub": ORACLE_PII_SCRUB,
+    "text_quality_gopher": ORACLE_GOPHER,
+    "text_repetition": ORACLE_REPETITION,
+    "dedup_span": ORACLE_SPAN_DEDUP,
+    "url_frontier_filter": ORACLE_URL_FILTER,
     "contamination_check": ORACLE_CONTAMINATION,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "shard_pack": ORACLE_SHARD_PACK,

@@ -94,3 +94,63 @@ def doc_key(title: Column) -> Column:
     """md5(title) hexdigest — the reference's document identity key
     (pygdpr/models/dpa/austria/__init__.py:99), byte-identical to hashlib."""
     return F.md5(F.encode(title, "UTF-8"))
+
+
+#: frontier-hygiene defaults: binary/asset extensions a document crawler
+#: never fetches (the reference gates on MIME after fetch —
+#: pygdpr/models/dpa/…'s  'application/pdf' checks; a 10^10-URL frontier
+#: must drop these BEFORE the fetch join or it pays the scheduling cost)
+BLOCKED_EXTENSIONS = (
+    "jpg", "jpeg", "png", "gif", "svg", "ico", "css", "js",
+    "woff", "woff2", "ttf", "mp3", "mp4", "avi", "exe", "dmg",
+)
+
+
+def url_quality_filter(
+    df,
+    url_col: str = "url",
+    max_len: int = 256,
+    max_depth: int = 8,
+    max_params: int = 4,
+    blocked_hosts: tuple[str, ...] = (),
+):
+    """Frontier-side URL hygiene gate (crawl-tier curation).
+
+    Classifies every URL with the FIRST failing rule, in a fixed order
+    (scheme -> blocked_host -> bad_ext -> too_long -> too_deep ->
+    too_many_params), or NULL when the URL passes; ``keep`` is the
+    boolean verdict.  Everything is built-in regex/string expressions —
+    one whole-stage-codegen projection, zero shuffle, applied before the
+    seen-filter anti-join so rejected URLs never reach the frontier.
+
+    Output: input columns + (reject_reason:string, keep:boolean).
+    """
+    u = F.col(url_col)
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1))
+    depth = F.length(path) - F.length(F.regexp_replace(path, r"/", ""))
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.length(query) - F.length(F.regexp_replace(query, r"&", "")) + 1
+    )
+    bad_scheme = ~u.rlike(r"^https?://")
+    blocked = F.lit(False)
+    if blocked_hosts:
+        hosts = ", ".join(f"'{h}'" for h in blocked_hosts)
+        blocked = F.expr(f"array_contains(array({hosts}), __ufq_host)")
+    exts = ", ".join(f"'{e}'" for e in BLOCKED_EXTENSIONS)
+    reason = (
+        F.when(bad_scheme, F.lit("scheme"))
+        .when(blocked, F.lit("blocked_host"))
+        .when(F.expr(f"array_contains(array({exts}), __ufq_ext)"), F.lit("bad_ext"))
+        .when(F.length(u) > max_len, F.lit("too_long"))
+        .when(depth > max_depth, F.lit("too_deep"))
+        .when(n_params > max_params, F.lit("too_many_params"))
+    )
+    return (
+        df.withColumn("__ufq_host", host_of(u))
+        .withColumn("__ufq_ext", ext)
+        .withColumn("reject_reason", reason)
+        .withColumn("keep", F.col("reject_reason").isNull())
+        .drop("__ufq_host", "__ufq_ext")
+    )

@@ -238,3 +238,70 @@ def test_shard_pack_reruns_identical_no_cached_leak(spark):
     assert r1 == r2  # deterministic bucketing: no sampling anywhere
     # the round-4 persist leak is gone: the calls cached nothing new
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule trips on a doc engineered to fail exactly it."""
+    filler = " ".join(["the be to of and that have with"] * 10)  # 80 words
+    rows = [
+        (0, filler),                                    # all rules pass
+        (1, "the be to of"),                            # < 50 words
+        (2, filler + " " + "# " * 30),                  # symbol ratio
+        (3, filler + " " + "0 " * 400),                 # frac_alpha < 0.8
+        (4, "scan table merge row " * 20),              # 0 stop hits
+        (5, filler + ("\n- b" * 30)),                   # bullet lines > 0.9
+        (6, filler + ("\nwait..." * 2)),                # ellipsis > 0.3
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.gopher_quality(d).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False and out[1]["n_words"] < 50
+    assert out[2]["keep"] is False and out[2]["sym_ratio"] > 0.1
+    assert out[3]["keep"] is False and out[3]["frac_alpha_words"] < 0.8
+    assert out[4]["keep"] is False and out[4]["n_stop_hits"] == 0
+    assert out[5]["keep"] is False and out[5]["frac_bullet_lines"] > 0.9
+    assert out[6]["keep"] is False and out[6]["frac_ellipsis_lines"] > 0.3
+    assert out[0]["n_stop_hits"] == 8
+
+
+def test_ngram_repetition_signals(spark):
+    rows = [
+        (0, "a b a b a b"),       # bigrams: ab ba ab ba ab -> top 'a b' x3
+        (1, "w x y z"),           # all distinct
+        (2, "solo"),              # < 2 tokens: excluded
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.ngram_repetition(d, n=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_grams"] == 5 and out[0]["n_distinct"] == 2
+    assert out[0]["top_gram"] == "a b" and out[0]["dup_frac"] == 0.6
+    # 3 occurrences x 3 chars / 11 chars
+    assert out[0]["top_frac"] == round(9 / 11, 4)
+    assert out[1]["dup_frac"] == 0.0 and out[1]["n_distinct"] == 3
+
+
+def test_span_dedup_cross_doc_first_wins(spark):
+    a = " ".join(f"w{i}" for i in range(20))            # spans A0 A1
+    b = " ".join(f"w{i}" for i in range(10, 30))        # B0 == A1, B1 new
+    rows = [(0, a), (1, b), (2, a)]                     # doc2 fully dup
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.span_dedup(d, span=10).collect()}
+    assert out[0]["n_dup_spans"] == 0 and out[0]["n_spans"] == 2
+    assert out[1]["n_dup_spans"] == 1 and out[1]["n_spans"] == 2
+    assert out[2]["n_dup_spans"] == 2
+    import hashlib
+    assert out[2]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    kept_b = " ".join(f"w{i}" for i in range(20, 30))
+    assert out[1]["clean_md5"] == hashlib.md5(kept_b.encode()).hexdigest()
+
+
+def test_gopher_and_span_plans_stay_jvm_side(spark):
+    """No BatchEvalPython / PythonUDF anywhere in the new operators."""
+    d = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    for df in (
+        corpus.gopher_quality(d),
+        corpus.ngram_repetition(d),
+        corpus.span_dedup(d),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan

@@ -81,3 +81,36 @@ def test_host_of(spark):
         "www.ex.com",
         "cdn.example.eu",
     ]
+
+
+def test_url_quality_filter_rules_and_precedence(spark):
+    from crawler_spark.urls import url_quality_filter
+
+    cases = [
+        ("ftp://x.com/a", "scheme"),
+        ("javascript:void(0)", "scheme"),
+        ("https://spam.example.com/page", "blocked_host"),
+        ("https://ok.com/logo.PNG", "bad_ext"),          # case-folded ext
+        ("https://ok.com/" + "p/" * 130, "too_long"),    # also deep: first match wins
+        ("https://ok.com/a/b/c/d/e/f/g/h/i/x", "too_deep"),
+        ("https://ok.com/p?a=1&b=2&c=3&d=4&e=5", "too_many_params"),
+        ("https://ok.com/docs/page.html?a=1", None),
+        ("https://ok.com/", None),                        # no ext, depth 1
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    out = {
+        r["i"]: r
+        for r in url_quality_filter(
+            df, blocked_hosts=("spam.example.com",)
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert out[i]["reject_reason"] == want, (i, out[i])
+        assert out[i]["keep"] is (want is None)
+    # pure projection: no shuffle, no Python
+    plan = (
+        url_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
