@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_frozen",
     "emb_neardup_lsh",
     "multimodal_decode",
     "citations",

@@ -1610,6 +1610,60 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+#: one exemplar per embedding label at the fixture scales — a
+#: spread quantizer that exists at every sf (all ids < 500)
+IVF_FROZEN_IDS = (5, 6, 7, 10, 11, 18, 21, 23, 30, 42)
+
+
+def q_ann_ivf_frozen(spark, sf_dir):
+    """IVF with a frozen coarse quantizer (similarity.ivf_topk_frozen):
+    the hash-checkable member of the IVF family — same probe/rank
+    dataflow as q_ann_ivf, but centroids are fixed ids so the DuckDB
+    oracle reproduces the full answer, not just the row count."""
+    return similarity.ivf_topk_frozen(
+        _t(spark, sf_dir, "embeddings"), centroid_ids=IVF_FROZEN_IDS,
+        n_queries=5, k=5, n_probe=4,
+    )
+
+
+def _oracle_ivf_frozen() -> str:
+    ids = ", ".join(str(i) for i in IVF_FROZEN_IDS)
+    d2 = (
+        "round(list_aggregate(list_transform(generate_series(1, len({v})), "
+        "i -> ({v}[i] - c.cvec[i]) * ({v}[i] - c.cvec[i])), 'sum'), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding,
+    list_transform(embedding, x -> x::DOUBLE) AS v,
+    {_DUCK_NORM.format(v='embedding')} AS norm
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id IN ({ids})),
+cand AS (SELECT vec_id, embedding, v, norm, cell FROM (
+    SELECT e.vec_id, e.embedding, e.v, e.norm, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {d2.format(v='e.v')}, c.cid) AS rnk
+    FROM e, c WHERE e.vec_id >= 5) WHERE rnk = 1),
+probes AS (SELECT query_id, qvec, qnorm, cell FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qvec, e.norm AS qnorm,
+      c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {d2.format(v='e.v')}, c.cid) AS rnk
+    FROM e, c WHERE e.vec_id < 5) WHERE rnk <= 4),
+scored AS (
+  SELECT query_id, vec_id,
+    round({_DUCK_DOT.format(a='qvec', b='embedding')} / (qnorm * norm), 6) AS cosine
+  FROM cand JOIN probes USING (cell))
+SELECT query_id, vec_id, rank, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+    cast(row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id) as bigint) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+ORACLE_ANN_IVF_FROZEN = _oracle_ivf_frozen()
+
+
 def q_emb_neardup(spark, sf_dir):
     return similarity.neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
@@ -1953,6 +2007,7 @@ QUERIES = {
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf_frozen": q_ann_ivf_frozen,
     "cluster_assign": q_cluster_assign,
     "stopword_topk": q_stopword_topk,
     "politeness_topk": q_politeness_topk,
@@ -2014,6 +2069,7 @@ ORACLES = {
     "stopword_topk": ORACLE_STOPWORDS,
     "ann_cosine_topk": ORACLE_ANN_BRUTE,
     "ann_lsh": ORACLE_ANN_LSH,
+    "ann_ivf_frozen": ORACLE_ANN_IVF_FROZEN,
     "emb_neardup": ORACLE_EMB_NEARDUP,
     "emb_neardup_lsh": ORACLE_EMB_NEARDUP_LSH,
     "locale_dates": ORACLE_LOCALE_DATES,

@@ -528,3 +528,86 @@ def kmeans_lloyd(
     return centroid_assign(emb, cents, id_col, vec_col).select(
         id_col, F.col("cluster_id").alias("cluster"), "d2"
     )
+
+
+def ivf_topk_frozen(
+    emb: DataFrame,
+    centroid_ids: tuple[int, ...] = (5, 6, 7, 10, 11, 18, 21, 23, 30, 42),
+    n_queries: int = 5,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN with a FROZEN coarse quantizer — the hash-checkable twin
+    of :func:`ivf_topk` (whose fitted centroids are data-dependent and
+    therefore rows-only in the driver gate).
+
+    The quantizer is ``frozen_centroids`` over fixed ids, collected once
+    (k bounded rows — the same driver-side footprint as the IVF fit) and
+    inlined as a literal ``array<struct<cid, cvec>>``.  Cell assignment
+    is then a PURE PROJECTION: ``array_sort`` over the per-centroid
+    ``round(d2, 6)`` structs, ties to the smallest cid — zero shuffle on
+    the corpus side, exactly the broadcast-centroid map pass the 100 TB
+    IVF runs.  Each query explodes its ``n_probe`` nearest cells
+    (n_queries x n_probe rows, broadcast), candidates equi-join on the
+    cell id, cosine ranks within the probed cells.
+
+    Every arithmetic step (double promotion before subtraction,
+    sequential left-to-right folds, round-6-before-rank, cid/vec_id tie
+    breaks) is reproduced verbatim by the DuckDB oracle, so this entry
+    upgrades the IVF family from rows-only to a full value-hash check.
+    Output: (query_id, vec_id, rank:bigint, cosine).
+    """
+    cents = frozen_centroids(emb, centroid_ids).collect()
+    items = ", ".join(
+        "struct(cast({cid} as bigint) as cid, array({vs}) as cvec)".format(
+            cid=r["cid"],
+            vs=", ".join(f"cast('{float(x)!r}' as double)" for x in r["cvec"]),
+        )
+        for r in sorted(cents, key=lambda r: r["cid"])
+    )
+    cents_lit = f"array({items})"
+    d2 = (
+        "aggregate(sequence(1, size(embedding)), cast(0.0 as double), "
+        "(acc, i) -> acc + "
+        "(cast(element_at(embedding, i) as double) - element_at(c.cvec, i)) "
+        "* (cast(element_at(embedding, i) as double) - element_at(c.cvec, i)))"
+    )
+    ranked_cells = (
+        f"array_sort(transform({cents_lit}, c -> "
+        f"struct(round({d2}, 6) as d2, c.cid as cid)))"
+    )
+    base = with_norm(emb)
+    cand = base.filter(F.col("vec_id") >= n_queries).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.expr(f"element_at({ranked_cells}, 1).cid").alias("cell"),
+    )
+    probes = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding"),
+            F.col("norm").alias("qnorm"),
+            F.explode(F.expr(f"slice({ranked_cells}, 1, {n_probe})")).alias(
+                "p"
+            ),
+        )
+        .select(
+            "query_id",
+            F.col("embedding").alias("qvec"),
+            "qnorm",
+            F.col("p.cid").alias("cell"),
+        )
+    )
+    scored = cand.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "vec_id",
+        F.expr(_cos("qvec", "embedding", "qnorm", "norm")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )

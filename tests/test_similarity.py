@@ -100,3 +100,29 @@ def test_parquet_row_count_matches_scan(spark):
         ).collect()
     }
     assert hinted == plain
+
+
+def test_ivf_frozen_recall_and_zero_shuffle_assign(spark):
+    """Frozen-quantizer IVF: decent recall vs brute force, and the
+    candidate-side cell assignment is a pure projection (the only
+    exchanges in the plan serve the final per-query rank window and the
+    broadcast probe join, never a corpus re-partition for assignment)."""
+    emb_full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb_full, n_queries=5, k=5).collect()
+    }
+    ivf = similarity.ivf_topk_frozen(emb_full, n_queries=5, k=5, n_probe=4)
+    got = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.55, f"frozen-IVF recall too low: {recall}"
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # assignment itself adds no exchange: candidates flow
+    # scan -> project(cell) -> broadcast-join; the only hash exchange in
+    # the plan serves the per-query rank window (query_id), never a
+    # corpus repartition by vec_id or cell
+    assert "Exchange hashpartitioning(vec_id" not in plan, plan
+    assert "Exchange hashpartitioning(cell" not in plan, plan
+    assert "Exchange hashpartitioning(query_id" in plan
