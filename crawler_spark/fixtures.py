@@ -37,7 +37,7 @@ from . import extract as X
 AS_OF = date(2024, 1, 15)  # frozen 'today' for the retention window (P1)
 # bump when fixture layout changes: fixture_dir() regenerates cached dirs
 # whose marker carries a different version
-FIXTURE_VERSION = "v7"  # v7: scanned (image-only) pdfs in sf* profiles
+FIXTURE_VERSION = "v8"  # v8: half the fixture pdfs are 1.5 (ObjStm/XRef/ToUnicode)
 CDN_HOST = "cdn.example.eu"
 HOSTS = {
     "austria": "www.dsb.gv.at",
@@ -340,13 +340,21 @@ def _make_docx(text: str) -> bytes:
 
 
 def _make_pdf(payload: str) -> bytes:
-    """A REAL minimal PDF (xref table, WinAnsi Type1 font, Flate content
-    streams) carrying ``payload`` — the document format most reference
-    scrapers fetch (textract on .pdf); replaces the pre-round-4
-    %PDF-FAKE container.  Round-trips exactly through
-    extract.decode_pdf (tests/test_decoders.py)."""
-    from .pdfcodec import encode_pdf
+    """A REAL minimal PDF carrying ``payload`` — the document format
+    most reference scrapers fetch (textract on .pdf); replaces the
+    pre-round-4 %PDF-FAKE container.  Deterministically alternates (by
+    payload crc) between the classic encoder (xref table, WinAnsi Type1
+    font) and the PDF-1.5 encoder (object streams, xref stream,
+    /ToUnicode CMap with a shifted byte encoding), so every crawl
+    profile's byte-identity suite exercises BOTH decoder paths.
+    Round-trips exactly through extract.decode_pdf
+    (tests/test_decoders.py)."""
+    import zlib as _zlib
 
+    from .pdfcodec import encode_pdf, encode_pdf15
+
+    if _zlib.crc32(payload.encode("utf-8")) & 1:
+        return encode_pdf15(payload)
     return encode_pdf(payload)
 
 

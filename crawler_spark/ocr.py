@@ -223,7 +223,7 @@ def _image_jpegs(data: bytes) -> list[bytes]:
     from .pdfcodec import _object_at, _scan_offsets, _xref_offsets
 
     try:
-        offsets = _xref_offsets(data)
+        offsets, _compressed = _xref_offsets(data)
     except (ValueError, IndexError):
         offsets = _scan_offsets(data)
     out: list[bytes] = []

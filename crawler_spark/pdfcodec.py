@@ -21,11 +21,19 @@ engine's fixtures and tests exercise end-to-end:
   ``TD`` starting new lines.  Falls back to a linear ``N 0 obj`` scan
   when the xref is damaged, like real readers do.
 
-Scope (documented, honest): text-only PDFs with simple fonts and
-byte-oriented WinAnsi/cp1252 strings — exactly what the engine's crawl
-fixtures carry.  Embedded-font /ToUnicode CMaps, object streams and
-encryption are out of scope; on a full cluster image the pdfminer
-import-try in ``extract.decode_pdf`` handles those first.
+:func:`encode_pdf15` / the same decoder additionally cover the three
+modern-PDF structures that dominate post-2010 government documents:
+``/Type /ObjStm`` object streams (non-stream objects packed into one
+Flate stream), ``/Type /XRef`` cross-reference streams (binary
+/W-packed type-1/type-2 rows instead of a classic table), and
+single-byte ``/ToUnicode`` CMaps (bfchar + both bfrange forms) with
+per-``Tf`` font dispatch in the content-stream scanner.
+
+Scope (documented, honest): text-only PDFs with simple fonts,
+byte-oriented strings decoded via WinAnsi/cp1252 or a one-byte
+codespace /ToUnicode CMap.  Multi-byte CID codespaces, predictors on
+xref streams, and encryption are out of scope; on a full cluster image
+the pdfminer import-try in ``extract.decode_pdf`` handles those first.
 """
 
 from __future__ import annotations
@@ -46,11 +54,11 @@ _MARGIN_X, _TOP_Y = 72, 720
 _ESC = {0x28: b"\\(", 0x29: b"\\)", 0x5C: b"\\\\"}
 
 
-def _pdf_string(line: str) -> bytes:
-    """A literal PDF string for ``line`` in WinAnsi (cp1252) bytes:
-    parens/backslash escaped, control and high bytes as octal escapes."""
+def _pdf_string_raw(raw: bytes) -> bytes:
+    """A literal PDF string for ``raw`` bytes: parens/backslash escaped,
+    control and high bytes as octal escapes."""
     out = bytearray(b"(")
-    for b in line.encode("cp1252"):
+    for b in raw:
         if b in _ESC:
             out += _ESC[b]
         elif 32 <= b < 127:
@@ -61,11 +69,19 @@ def _pdf_string(line: str) -> bytes:
     return bytes(out)
 
 
-def _content_stream(lines: list[str]) -> bytes:
+def _pdf_string(line: str) -> bytes:
+    """A literal PDF string for ``line`` in WinAnsi (cp1252) bytes."""
+    return _pdf_string_raw(line.encode("cp1252"))
+
+
+def _content_stream(lines: list[str], tobytes=None) -> bytes:
     """One page's content: set font/leading, position at the top-left,
     then one text line per ``Tj`` (even lines) or split ``TJ`` array
     with a kern number (odd lines — exercises the array operator),
-    advancing with ``T*`` between lines."""
+    advancing with ``T*`` between lines.  ``tobytes`` maps a text line
+    to its string bytes (default WinAnsi; encode_pdf15 passes the
+    CMap-shifted encoder)."""
+    enc = tobytes or (lambda s: s.encode("cp1252"))
     ops = [
         b"BT",
         b"/F1 %d Tf" % _FONT_SIZE,
@@ -78,11 +94,11 @@ def _content_stream(lines: list[str]) -> bytes:
         if idx % 2 and len(line) > 2:
             cut = len(line) // 2
             ops.append(
-                b"[" + _pdf_string(line[:cut]) + b" -12 "
-                + _pdf_string(line[cut:]) + b"] TJ"
+                b"[" + _pdf_string_raw(enc(line[:cut])) + b" -12 "
+                + _pdf_string_raw(enc(line[cut:])) + b"] TJ"
             )
         else:
-            ops.append(_pdf_string(line) + b" Tj")
+            ops.append(_pdf_string_raw(enc(line)) + b" Tj")
     ops.append(b"ET")
     return b"\n".join(ops)
 
@@ -141,6 +157,173 @@ def encode_pdf(text: str, lines_per_page: int = 48, compress: bool = True) -> by
     return bytes(buf)
 
 
+def _tounicode_cmap(text: str) -> tuple[bytes, dict[int, int]]:
+    """A /ToUnicode CMap stream body + the char->code table for the
+    SHIFTED encoding ``code = (cp1252_byte + 1) & 0xff``.
+
+    The shift makes the mapping non-identity on purpose: a decoder that
+    ignores /ToUnicode and falls back to WinAnsi produces visibly wrong
+    text, so a byte-identical round-trip PROVES the CMap path ran.
+    Lowercase a-z are emitted as one ``bfrange`` (exercises the range
+    form); every other used code gets a ``bfchar`` entry."""
+    used = sorted({b for b in text.encode("cp1252") if b != 0x0A})
+    enc = {b: (b + 1) & 0xFF for b in used}
+    range_lo, range_hi = ord("a") + 1, ord("z") + 1  # codes 0x62..0x7b
+    bfchars = []
+    for b in used:
+        code = enc[b]
+        if range_lo <= code <= range_hi and ord("a") <= b <= ord("z"):
+            continue  # covered by the bfrange
+        uni = bytes([b]).decode("cp1252", "replace")
+        u16 = uni.encode("utf-16-be").hex()
+        bfchars.append(b"<%02x> <%s>" % (code, u16.encode("ascii")))
+    parts = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"1 begincodespacerange <00> <ff> endcodespacerange",
+        b"1 beginbfrange",
+        b"<%02x> <%02x> <0061>" % (range_lo, range_hi),
+        b"endbfrange",
+    ]
+    if bfchars:
+        parts.append(b"%d beginbfchar" % len(bfchars))
+        parts.extend(bfchars)
+        parts.append(b"endbfchar")
+    parts += [b"endcmap", b"end", b"end"]
+    return b"\n".join(parts), enc
+
+
+def encode_pdf15(text: str, lines_per_page: int = 48) -> bytes:
+    """Serialize ``text`` into a REAL PDF 1.5 file exercising the three
+    modern-PDF features :func:`encode_pdf` does not: all non-stream
+    objects (catalog, page tree, font, page dicts) packed into a
+    ``/Type /ObjStm`` object stream, a ``/Type /XRef`` cross-reference
+    STREAM (binary /W-packed type-1/type-2 rows) instead of a classic
+    xref table, and a font whose string bytes are a NON-WinAnsi code
+    assignment resolved through a ``/ToUnicode`` CMap (bfrange +
+    bfchar).  Round-trips exactly through :func:`decode_pdf_min`.
+
+    Mirrors the part of pdfminer the reference leans on for real-world
+    DPA documents (pygdpr/services/pdf_to_text_service.py:63-88):
+    compressed cross-references and CMap-mapped text dominate
+    post-2010 government PDFs."""
+    lines = text.split("\n")
+    pages = [
+        lines[i : i + lines_per_page]
+        for i in range(0, len(lines), lines_per_page)
+    ]
+    if not pages:
+        pages = [[""]]
+    P = len(pages)
+    cmap_body, enc = _tounicode_cmap(text)
+
+    def shift(s: str) -> bytes:
+        return bytes(enc.get(b, b) for b in s.encode("cp1252"))
+
+    # object numbering: 1 catalog, 2 pages, 3 font (ObjStm members),
+    # 4 CMap stream, 5..4+P page dicts (ObjStm), 5+P..4+2P content
+    # streams, 5+2P the ObjStm container, 6+2P the xref stream
+    objstm_num, xref_num = 5 + 2 * P, 6 + 2 * P
+    size = xref_num + 1
+
+    members: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (
+            2,
+            b"<< /Type /Pages /Kids ["
+            + b" ".join(b"%d 0 R" % (5 + p) for p in range(P))
+            + b"] /Count %d >>" % P,
+        ),
+        (
+            3,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom"
+            b" /ToUnicode 4 0 R >>",
+        ),
+    ]
+    for p in range(P):
+        members.append(
+            (
+                5 + p,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents %d 0 R >>" % (*_MEDIA, 5 + P + p),
+            )
+        )
+
+    def stream_obj(head_extra: bytes, data: bytes) -> bytes:
+        z = zlib.compress(data)
+        return (
+            b"<< %s/Length %d /Filter /FlateDecode >>\nstream\n" % (head_extra, len(z))
+            + z
+            + b"\nendstream"
+        )
+
+    # ObjStm body: "num off num off ...\n" header + concatenated bodies
+    bodies = []
+    offs = []
+    at = 0
+    for _num, body in members:
+        offs.append(at)
+        bodies.append(body)
+        at += len(body) + 1
+    header = (
+        b" ".join(
+            b"%d %d" % (num, off) for (num, _), off in zip(members, offs)
+        )
+        + b"\n"
+    )
+    objstm_data = header + b"\n".join(bodies)
+    first = len(header)
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    top_offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        top_offsets[num] = len(buf)
+        buf.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    emit(4, stream_obj(b"", cmap_body))
+    for p, page_lines in enumerate(pages):
+        emit(5 + P + p, stream_obj(b"", _content_stream(page_lines, shift)))
+    emit(
+        objstm_num,
+        stream_obj(
+            b"/Type /ObjStm /N %d /First %d " % (len(members), first),
+            objstm_data,
+        ),
+    )
+
+    # xref stream: W = [1 4 2] -> type, offset/container, gen/index
+    xref_at = len(buf)
+    rows = bytearray()
+
+    def row(typ: int, f2: int, f3: int) -> None:
+        rows.append(typ)
+        rows.extend(f2.to_bytes(4, "big"))
+        rows.extend(f3.to_bytes(2, "big"))
+
+    member_index = {num: i for i, (num, _) in enumerate(members)}
+    for num in range(size):
+        if num == 0:
+            row(0, 0, 65535)
+        elif num in member_index:
+            row(2, objstm_num, member_index[num])
+        elif num == xref_num:
+            row(1, xref_at, 0)
+        else:
+            row(1, top_offsets[num], 0)
+    z = zlib.compress(bytes(rows))
+    buf.extend(
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d]"
+        b" /Root 1 0 R /Filter /FlateDecode /Length %d >>\nstream\n"
+        % (xref_num, size, size, len(z))
+    )
+    buf.extend(z)
+    buf.extend(b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_at)
+    return bytes(buf)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -150,10 +333,15 @@ _REF_RE = re.compile(rb"/%s\s+(\d+)\s+\d+\s+R")
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
 
 
-def _xref_offsets(data: bytes) -> dict[int, int]:
-    """Object byte offsets via the trailer's startxref; classic xref
-    tables only (the subset the encoder writes).  Raises on damage —
-    the caller falls back to a linear object scan."""
+def _xref_offsets(data: bytes) -> tuple[dict[int, int], dict[int, tuple[int, int]]]:
+    """Object locations via the trailer's startxref: classic xref
+    tables AND PDF-1.5 cross-reference streams (/Type /XRef with /W
+    field widths, /Index subsections, binary type-0/1/2 rows).
+
+    Returns ``(offsets, compressed)``: byte offsets for top-level
+    objects, and ``{num: (container_objstm_num, index_in_stream)}`` for
+    objects living inside an object stream.  Raises on damage — the
+    caller falls back to a linear object scan."""
     tail = data[-256:]
     m = None
     for m in re.finditer(rb"startxref\s+(\d+)", tail):
@@ -161,24 +349,87 @@ def _xref_offsets(data: bytes) -> dict[int, int]:
     if m is None:
         raise ValueError("no startxref")
     pos = int(m.group(1))
-    if not data.startswith(b"xref", pos):
-        raise ValueError("startxref does not point at an xref table")
-    offsets: dict[int, int] = {}
-    pos += 4
-    while True:
-        mh = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", data[pos : pos + 64])
-        if mh is None:
-            break  # 'trailer'
-        first, count = int(mh.group(1)), int(mh.group(2))
-        pos += mh.end()
+    if data.startswith(b"xref", pos):
+        offsets: dict[int, int] = {}
+        pos += 4
+        while True:
+            mh = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", data[pos : pos + 64])
+            if mh is None:
+                break  # 'trailer'
+            first, count = int(mh.group(1)), int(mh.group(2))
+            pos += mh.end()
+            for k in range(count):
+                ent = data[pos : pos + 20]
+                if ent[17:18] == b"n":
+                    offsets[first + k] = int(ent[:10])
+                pos += 20
+        if not offsets:
+            raise ValueError("empty xref")
+        return offsets, {}
+    # cross-reference STREAM: startxref points at 'N 0 obj' whose dict
+    # is /Type /XRef and whose Flate data holds the binary entry rows
+    if _OBJ_RE.match(data, pos) is None:
+        raise ValueError("startxref points at neither xref nor an object")
+    xobj = _object_at(data, pos)
+    head = xobj[: xobj.find(b"stream")]
+    if b"/XRef" not in head:
+        raise ValueError("startxref object is not an xref stream")
+    mw = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", head)
+    msz = re.search(rb"/Size\s+(\d+)", head)
+    if mw is None or msz is None:
+        raise ValueError("xref stream missing /W or /Size")
+    w1, w2, w3 = (int(g) for g in mw.groups())
+    size = int(msz.group(1))
+    mi = re.search(rb"/Index\s*\[([^\]]*)\]", head)
+    if mi:
+        nums = [int(x) for x in re.findall(rb"\d+", mi.group(1))]
+        index = list(zip(nums[0::2], nums[1::2]))
+    else:
+        index = [(0, size)]
+    rows = _stream_data(xobj)
+    rw = w1 + w2 + w3
+    offsets, compressed = {}, {}
+    at = 0
+
+    def field(row: bytes, a: int, w: int, default: int) -> int:
+        return int.from_bytes(row[a : a + w], "big") if w else default
+
+    for first, count in index:
         for k in range(count):
-            ent = data[pos : pos + 20]
-            if ent[17:18] == b"n":
-                offsets[first + k] = int(ent[:10])
-            pos += 20
-    if not offsets:
-        raise ValueError("empty xref")
-    return offsets
+            row = rows[at : at + rw]
+            at += rw
+            if len(row) < rw:
+                raise ValueError("truncated xref stream")
+            typ = field(row, 0, w1, 1)  # w1==0 => type 1 per spec
+            f2 = field(row, w1, w2, 0)
+            f3 = field(row, w1 + w2, w3, 0)
+            num = first + k
+            if typ == 1:
+                offsets[num] = f2
+            elif typ == 2:
+                compressed[num] = (f2, f3)
+    if not offsets and not compressed:
+        raise ValueError("empty xref stream")
+    return offsets, compressed
+
+
+def _objstm_objects(container: bytes) -> tuple[list[int], list[bytes]]:
+    """The objects packed inside a /Type /ObjStm stream, in stream
+    order: the data begins with /N pairs of ``objnum offset`` relative
+    to /First, followed by the concatenated object bodies.  Returns
+    (member object numbers, member bodies)."""
+    head = container[: container.find(b"stream")]
+    mn = re.search(rb"/N\s+(\d+)", head)
+    mf = re.search(rb"/First\s+(\d+)", head)
+    if mn is None or mf is None:
+        return [], []
+    n, first = int(mn.group(1)), int(mf.group(1))
+    data = _stream_data(container)
+    pairs = [int(x) for x in re.findall(rb"\d+", data[:first])][: 2 * n]
+    nums = pairs[0::2]
+    offs = [first + o for o in pairs[1::2]]
+    offs.append(len(data))
+    return nums, [data[offs[i] : offs[i + 1]] for i in range(n)]
 
 
 def _scan_offsets(data: bytes) -> dict[int, int]:
@@ -260,10 +511,12 @@ def _stream_data(obj: bytes) -> bytes:
 _OCT_ESC = {ord("n"): "\n", ord("r"): "\r", ord("t"): "\t", ord("b"): "\b", ord("f"): "\f"}
 
 
-def _read_string(s: bytes, i: int) -> tuple[str, int]:
-    """Literal string starting at s[i] == '(' -> (decoded text, next i).
+def _read_string(s: bytes, i: int) -> tuple[bytes, int]:
+    """Literal string starting at s[i] == '(' -> (RAW bytes, next i).
     Handles nested parens, octal escapes, named escapes and
-    line-continuation backslashes, decoding bytes as cp1252."""
+    line-continuation backslashes.  Decoding to text happens at
+    operator time, where the active font's /ToUnicode CMap (if any)
+    is known."""
     out = bytearray()
     depth, i = 1, i + 1
     n = len(s)
@@ -301,26 +554,40 @@ def _read_string(s: bytes, i: int) -> tuple[str, int]:
                 break
         out.append(b)
         i += 1
-    return out.decode("cp1252", errors="replace"), i
+    return bytes(out), i
 
 
-def _read_hex_string(s: bytes, i: int) -> tuple[str, int]:
+def _read_hex_string(s: bytes, i: int) -> tuple[bytes, int]:
     end = s.find(b">", i + 1)
     if end == -1:
         end = len(s)
     hx = re.sub(rb"\s+", b"", s[i + 1 : end])
     if len(hx) % 2:
         hx += b"0"
-    return bytes.fromhex(hx.decode("ascii")).decode("cp1252", "replace"), end + 1
+    return bytes.fromhex(hx.decode("ascii")), end + 1
 
 
-def _page_text(content: bytes) -> str:
+def _page_text(content: bytes, fonts: dict[bytes, dict | None] | None = None) -> str:
     """Scan one content stream's tokens; returns the page text with one
     ``\\n`` per line-advance operator (``T*``, ``'``, ``\"``, and
-    ``Td``/``TD`` once text flow has begun)."""
+    ``Td``/``TD`` once text flow has begun).
+
+    ``fonts`` maps resource names (e.g. ``b'F1'``) to a /ToUnicode CMap
+    (code -> str) or None; ``Tf`` switches the active font, and string
+    bytes decode through its CMap when present, else as WinAnsi/cp1252 —
+    the same dispatch pdfminer's interpreter does per text state."""
+    fonts = fonts or {}
+    cur_cmap: dict[int, str] | None = None
+    last_name: bytes | None = None
+
+    def decode(raw: bytes) -> str:
+        if cur_cmap is None:
+            return raw.decode("cp1252", errors="replace")
+        return "".join(cur_cmap.get(c, "�") for c in raw)
+
     lines: list[str] = []
     cur: list[str] = []
-    pending: list[str] = []  # strings seen since the last operator
+    pending: list[bytes] = []  # raw strings seen since the last operator
     started = False  # any text op on this page yet
 
     def newline():
@@ -348,6 +615,7 @@ def _page_text(content: bytes) -> str:
             continue
         if b == 0x2F:  # /name
             m = re.match(rb"/[^\s\[\]()<>/]*", content[i:])
+            last_name = m.group(0)[1:]
             i += m.end()
             continue
         if b in b"0123456789+-.":
@@ -362,19 +630,21 @@ def _page_text(content: bytes) -> str:
         i += m.end()
         if op in (b"Tj", b"TJ"):
             started = True
-            cur.extend(pending)
+            cur.extend(decode(p) for p in pending)
         elif op == b"'":
             newline()
             started = True
-            cur.extend(pending)
+            cur.extend(decode(p) for p in pending)
         elif op == b'"':
             newline()
             started = True
-            cur.extend(pending)
+            cur.extend(decode(p) for p in pending)
         elif op == b"T*":
             newline()
         elif op in (b"Td", b"TD"):
             newline()
+        elif op == b"Tf":
+            cur_cmap = fonts.get(last_name)
         elif op == b"ET":
             pass
         pending.clear()
@@ -383,21 +653,84 @@ def _page_text(content: bytes) -> str:
     return "\n".join(lines)
 
 
+def _parse_cmap(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap -> {code: text}: ``bfchar`` pairs, ``bfrange``
+    with a base destination, and ``bfrange`` with a destination array
+    (the three forms Adobe's CMap spec defines for Unicode maps).
+    Destinations are UTF-16BE hex, possibly multi-code-unit."""
+    def u16(hx: bytes) -> str:
+        return bytes.fromhex(hx.decode("ascii")).decode(
+            "utf-16-be", errors="replace"
+        )
+
+    cmap: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for pm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            cmap[int(pm.group(1), 16)] = u16(pm.group(2))
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for rm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])",
+            m.group(1),
+        ):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            if rm.group(3) is not None:  # base destination, incremented
+                base_hex = rm.group(3)
+                base = int(base_hex, 16)
+                width = len(base_hex)
+                for c in range(lo, hi + 1):
+                    cmap[c] = u16(
+                        (b"%0*x" % (width, base + (c - lo)))
+                    )
+            else:  # one destination per code
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", rm.group(4))
+                for c, d in zip(range(lo, hi + 1), dsts):
+                    cmap[c] = u16(d)
+    return cmap
+
+
 def decode_pdf_min(data: bytes) -> str:
-    """Extract text from a minimal real PDF: xref walk → page tree in
-    /Kids order → per-page content streams → token scan.  Pages joined
-    with ``\\n`` (the page boundary the encoder writes)."""
+    """Extract text from a minimal real PDF: xref walk (classic table or
+    PDF-1.5 xref stream) → page tree in /Kids order → per-page content
+    streams (top-level or packed in object streams) → token scan with
+    per-font /ToUnicode CMap dispatch.  Pages joined with ``\\n`` (the
+    page boundary the encoder writes)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF")
+    compressed: dict[int, tuple[int, int]] = {}
     try:
-        offsets = _xref_offsets(data)
+        offsets, compressed = _xref_offsets(data)
     except (ValueError, IndexError):
         offsets = _scan_offsets(data)
     if not offsets:
         raise ValueError("no objects found")
 
+    _objstm_cache: dict[int, tuple[list[int], list[bytes]]] = {}
+
+    def objstm(num: int) -> tuple[list[int], list[bytes]]:
+        if num not in _objstm_cache:
+            _objstm_cache[num] = _objstm_objects(_object_at(data, offsets[num]))
+        return _objstm_cache[num]
+
+    if not compressed:
+        # scan-fallback path (or classic xref): objects may still live in
+        # object streams — enumerate every /Type /ObjStm container found
+        for num, off in list(offsets.items()):
+            o = _object_at(data, off)
+            s_at = o.find(b"stream")
+            if s_at != -1 and b"/ObjStm" in o[:s_at]:
+                nums, _bodies = objstm(num)
+                for idx, onum in enumerate(nums):
+                    if onum not in offsets:
+                        compressed[onum] = (num, idx)
+
     def obj(num: int) -> bytes:
-        return _object_at(data, offsets[num])
+        if num in offsets:
+            return _object_at(data, offsets[num])
+        cnum, idx = compressed[num]
+        return objstm(cnum)[1][idx]
 
     # trailer /Root (search the whole tail region — also covers the
     # scan-fallback case where no trailer dict offset is known)
@@ -423,6 +756,22 @@ def decode_pdf_min(data: bytes) -> str:
 
     walk(pages_ref)
 
+    def page_fonts(o: bytes) -> dict[bytes, dict | None]:
+        """Resource-name -> /ToUnicode CMap (or None) for one page."""
+        mf = re.search(rb"/Font\s*<<(.*?)>>", o, re.S)
+        if mf is None:
+            return {}
+        fonts: dict[bytes, dict | None] = {}
+        for fm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", mf.group(1)):
+            try:
+                tu = _dict_ref(obj(int(fm.group(2))), "ToUnicode")
+                fonts[fm.group(1)] = (
+                    _parse_cmap(_stream_data(obj(tu))) if tu is not None else None
+                )
+            except (KeyError, ValueError):
+                fonts[fm.group(1)] = None
+        return fonts
+
     texts: list[str] = []
     for pn in page_nums:
         o = obj(pn)
@@ -435,5 +784,5 @@ def decode_pdf_min(data: bytes) -> str:
             if r is not None:
                 refs = [r]
         content = b"\n".join(_stream_data(obj(r)) for r in refs)
-        texts.append(_page_text(content))
+        texts.append(_page_text(content, page_fonts(o)))
     return "\n".join(texts)

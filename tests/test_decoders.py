@@ -172,3 +172,70 @@ def test_ocr_matcher_is_not_a_byte_copy():
     _, _, noisy = decode_jpeg_pixels(encode_jpeg(clean))
     assert noisy != clean  # lossy
     assert match_raster(noisy) == "QUANTIZE ME 08"
+
+
+def test_pdf15_objstm_xrefstream_tounicode_roundtrip():
+    """PDF-1.5 features: object streams, xref streams, /ToUnicode CMaps.
+
+    encode_pdf15 packs all non-stream objects into a /Type /ObjStm,
+    writes a binary /Type /XRef cross-reference stream (no classic
+    table), and encodes text through a shifted (non-WinAnsi) code
+    assignment resolved by a bfrange+bfchar /ToUnicode CMap."""
+    from crawler_spark.pdfcodec import decode_pdf_min, encode_pdf15
+
+    text = (
+        "Hello GDPR Article 83(5)\n"
+        "fine of €2,500,000 (two) [three]\n"
+        "escapes \\ and (parens) survive"
+    )
+    pdf = encode_pdf15(text)
+    assert pdf.startswith(b"%PDF-1.5")
+    assert b"/ObjStm" in pdf and b"/XRef" in pdf
+    assert b"xref\n0 " not in pdf  # no classic table
+    assert decode_pdf_min(pdf) == text
+
+
+def test_pdf15_multipage_and_damaged_xref_scan():
+    from crawler_spark.pdfcodec import decode_pdf_min, encode_pdf15
+
+    long = "\n".join(f"line {i} content alpha" for i in range(120))
+    pdf = encode_pdf15(long)
+    assert decode_pdf_min(pdf) == long
+    # break the startxref pointer: the linear object scan must still
+    # find the ObjStm container and explode its members
+    assert decode_pdf_min(pdf.replace(b"startxref", b"startxrEF")) == long
+
+
+def test_pdf15_tounicode_is_load_bearing():
+    """The string bytes in the content stream are NOT WinAnsi: decoding
+    them without the font's CMap yields different text, so the exact
+    round-trip above proves the /ToUnicode path actually ran."""
+    from crawler_spark import pdfcodec as P
+
+    text = "abc XYZ 123"
+    pdf = P.encode_pdf15(text)
+    assert P.decode_pdf_min(pdf) == text
+    # extract the sole content stream and scan it WITHOUT fonts
+    offsets, compressed = P._xref_offsets(pdf)
+    content_num = next(
+        n for n in offsets
+        if b"/ObjStm" not in P._object_at(pdf, offsets[n])[:200]
+        and b"/XRef" not in P._object_at(pdf, offsets[n])[:200]
+        and b"begincmap" not in P._stream_data(P._object_at(pdf, offsets[n]))
+    )
+    raw = P._stream_data(P._object_at(pdf, offsets[content_num]))
+    assert P._page_text(raw, fonts={}) != text
+    assert compressed  # members really were xref'd as type-2 entries
+
+
+def test_parse_cmap_forms():
+    from crawler_spark.pdfcodec import _parse_cmap
+
+    cm = _parse_cmap(
+        b"2 beginbfchar <01> <0041> <02> <00e9> endbfchar\n"
+        b"1 beginbfrange <10> <12> <0061> endbfrange\n"
+        b"1 beginbfrange <20> <21> [<0058> <20ac>] endbfrange\n"
+    )
+    assert cm[0x01] == "A" and cm[0x02] == "é"
+    assert cm[0x10] == "a" and cm[0x11] == "b" and cm[0x12] == "c"
+    assert cm[0x20] == "X" and cm[0x21] == "€"
