@@ -29,11 +29,21 @@ Flate stream), ``/Type /XRef`` cross-reference streams (binary
 single-byte ``/ToUnicode`` CMaps (bfchar + both bfrange forms) with
 per-``Tf`` font dispatch in the content-stream scanner.
 
+:func:`encode_pdf_encrypted` / the same decoder additionally cover the
+standard security handler (ISO 32000 §7.6.3): RC4 stream encryption
+with the MD5 key-derivation algorithms 2/3/4/5, both revision 2
+(40-bit, PDF 1.1-1.3 era) and revision 3 (128-bit, the dominant form
+for pre-AES government documents).  Decryption assumes the empty user
+password — the "owner-locked but world-readable" configuration nearly
+all published DPA decisions use — and verifies it against /U before
+decrypting; a real password raises rather than emitting garbage.
+
 Scope (documented, honest): text-only PDFs with simple fonts,
 byte-oriented strings decoded via WinAnsi/cp1252 or a one-byte
 codespace /ToUnicode CMap.  Multi-byte CID codespaces, predictors on
-xref streams, and encryption are out of scope; on a full cluster image
-the pdfminer import-try in ``extract.decode_pdf`` handles those first.
+xref streams, and AES (/AESV2+) or password-protected encryption are
+out of scope; on a full cluster image the pdfminer import-try in
+``extract.decode_pdf`` handles those first.
 """
 
 from __future__ import annotations
@@ -325,6 +335,181 @@ def encode_pdf15(text: str, lines_per_page: int = 48) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# standard security handler (ISO 32000-1 §7.6.3; RC4, revisions 2 and 3)
+# ---------------------------------------------------------------------------
+
+#: the spec's 32-byte password padding string (Table 21 note / Algorithm 2)
+_PW_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA0108"
+    "2E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (KSA + PRGA) — stdlib has no RC4; streams here are KB."""
+    S = list(range(256))
+    j = 0
+    kl = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % kl]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for at, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[at] = b ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pw_pad(pw: bytes) -> bytes:
+    return (pw + _PW_PAD)[:32]
+
+
+def _std_owner_value(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
+    """Algorithm 3: the /O entry."""
+    from hashlib import md5
+
+    h = md5(_pw_pad(owner_pw or user_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = md5(h).digest()
+    key = h[:n]
+    o = _rc4(key, _pw_pad(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _std_file_key(
+    user_pw: bytes, o: bytes, p: int, id0: bytes, r: int, n: int
+) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    from hashlib import md5
+
+    h = md5(
+        _pw_pad(user_pw) + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = md5(h[:n]).digest()
+    return h[:n]
+
+
+def _std_user_value(key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (r2) / 5 (r3): the /U entry."""
+    from hashlib import md5
+
+    if r == 2:
+        return _rc4(key, _PW_PAD)
+    u = _rc4(key, md5(_PW_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16  # arbitrary 16-byte tail; compares ignore it
+
+
+def _objkey(key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    from hashlib import md5
+
+    h = md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
+
+def encode_pdf_encrypted(
+    text: str, lines_per_page: int = 48, r: int = 3, owner_pw: bytes = b"owner"
+) -> bytes:
+    """Serialize ``text`` into a REAL encrypted PDF: same structure as
+    :func:`encode_pdf` plus a standard-security-handler /Encrypt
+    dictionary and a trailer /ID, with every content stream RC4-encrypted
+    under its per-object key.  The user password is EMPTY (the
+    owner-locked form published documents use), so
+    :func:`decode_pdf_min` round-trips it without credentials.
+    ``r=3`` writes the 128-bit revision-3 form; ``r=2`` the 40-bit
+    revision-2 form."""
+    from hashlib import md5
+
+    if r not in (2, 3):
+        raise ValueError("standard handler revisions 2 and 3 only")
+    n = 16 if r == 3 else 5
+    p = -3904 if r == 3 else -64  # print-only permissions, sign-extended
+    id0 = md5(text.encode("utf-8", "replace")).digest()
+    o = _std_owner_value(owner_pw, b"", r, n)
+    key = _std_file_key(b"", o, p, id0, r, n)
+    u = _std_user_value(key, id0, r)
+
+    lines = text.split("\n")
+    pages = [
+        lines[i : i + lines_per_page]
+        for i in range(0, len(lines), lines_per_page)
+    ]
+    if not pages:
+        pages = [[""]]
+
+    objects: list[bytes] = []
+    n_fixed = 3
+    kid_refs = b" ".join(
+        b"%d 0 R" % (n_fixed + 1 + 2 * pg) for pg in range(len(pages))
+    )
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        b"<< /Type /Pages /Kids [" + kid_refs + b"] /Count %d >>" % len(pages)
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>"
+    )
+    for pg, page_lines in enumerate(pages):
+        page_no = n_fixed + 1 + 2 * pg
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d]"
+            b" /Resources << /Font << /F1 3 0 R >> >>"
+            b" /Contents %d 0 R >>" % (*_MEDIA, page_no + 1)
+        )
+        data = _rc4(
+            _objkey(key, page_no + 1), zlib.compress(_content_stream(page_lines))
+        )
+        objects.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+            + data
+            + b"\nendstream"
+        )
+    enc_num = len(objects) + 1
+    if r == 3:
+        handler = b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d " % p
+    else:
+        handler = b"<< /Filter /Standard /V 1 /R 2 /P %d " % p
+    objects.append(
+        handler
+        + b"/O " + _pdf_string_raw(o)
+        + b" /U " + _pdf_string_raw(u)
+        + b" >>"
+    )
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objects) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    idhex = id0.hex().encode("ascii")
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R"
+        b" /ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, enc_num, idhex, idhex, xref_at)
+    )
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -413,7 +598,7 @@ def _xref_offsets(data: bytes) -> tuple[dict[int, int], dict[int, tuple[int, int
     return offsets, compressed
 
 
-def _objstm_objects(container: bytes) -> tuple[list[int], list[bytes]]:
+def _objstm_objects(container: bytes, crypt=None) -> tuple[list[int], list[bytes]]:
     """The objects packed inside a /Type /ObjStm stream, in stream
     order: the data begins with /N pairs of ``objnum offset`` relative
     to /First, followed by the concatenated object bodies.  Returns
@@ -424,7 +609,7 @@ def _objstm_objects(container: bytes) -> tuple[list[int], list[bytes]]:
     if mn is None or mf is None:
         return [], []
     n, first = int(mn.group(1)), int(mf.group(1))
-    data = _stream_data(container)
+    data = _stream_data(container, crypt)
     pairs = [int(x) for x in re.findall(rb"\d+", data[:first])][: 2 * n]
     nums = pairs[0::2]
     offs = [first + o for o in pairs[1::2]]
@@ -486,9 +671,11 @@ def _kids(obj: bytes) -> list[int]:
     return [int(r.group(1)) for r in re.finditer(rb"(\d+)\s+\d+\s+R", m.group(1))]
 
 
-def _stream_data(obj: bytes) -> bytes:
-    """The stream body of ``obj`` — /Length-delimited, inflated when
-    /FlateDecode."""
+def _stream_data(obj: bytes, crypt=None) -> bytes:
+    """The stream body of ``obj`` — /Length-delimited, decrypted via
+    ``crypt`` (a bound per-object decryptor, or None) BEFORE inflating
+    /FlateDecode, matching the spec's filter order for encrypted
+    files."""
     at = obj.find(b"stream")
     if at == -1:
         return b""
@@ -503,9 +690,25 @@ def _stream_data(obj: bytes) -> bytes:
     else:  # tolerate a missing /Length: cut at endstream
         end = obj.find(b"endstream", body_at)
         raw = obj[body_at : end if end != -1 else len(obj)]
+    if crypt is not None:
+        raw = crypt(raw)
     if re.search(rb"/Filter\s*(?:\[\s*)?/FlateDecode", obj[:at]):
         raw = zlib.decompress(raw)
     return raw
+
+
+def _dict_string(obj: bytes, key: str) -> bytes | None:
+    """The RAW bytes of a string-valued dict entry (``/O``, ``/U``) in
+    either literal ``(...)`` or hex ``<...>`` form."""
+    m = re.search(rb"/%s\s*" % key.encode("ascii"), obj)
+    if m is None:
+        return None
+    i = m.end()
+    if obj[i : i + 1] == b"(":
+        return _read_string(obj, i)[0]
+    if obj[i : i + 1] == b"<":
+        return _read_hex_string(obj, i)[0]
+    return None
 
 
 _OCT_ESC = {ord("n"): "\n", ord("r"): "\r", ord("t"): "\t", ord("b"): "\b", ord("f"): "\f"}
@@ -707,11 +910,58 @@ def decode_pdf_min(data: bytes) -> str:
     if not offsets:
         raise ValueError("no objects found")
 
+    # standard security handler: derive the file key from the trailer's
+    # /Encrypt dict (itself never encrypted) under the EMPTY user
+    # password, verifying against /U first (Algorithms 2/4/5/6)
+    fkey: bytes | None = None
+    menc = None
+    # trailer dicts live in the file tail; restricting the search there
+    # keeps page text that merely MENTIONS '/Encrypt N 0 R' inert
+    for menc in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data[-4096:]):
+        pass  # last wins (incremental updates)
+    if menc is not None:
+        enc_num = int(menc.group(1))
+        enc_off = offsets.get(enc_num)
+        if enc_off is None:
+            enc_off = _scan_offsets(data).get(enc_num)
+        if enc_off is None:
+            raise ValueError("trailer /Encrypt object not found")
+        eo = _object_at(data, enc_off)
+        if b"/Standard" not in eo:
+            raise ValueError("non-standard security handler (needs pdfminer)")
+        mr = re.search(rb"/R\s+(\d+)", eo)
+        mv = re.search(rb"/V\s+(\d+)", eo)
+        mp = re.search(rb"/P\s+(-?\d+)", eo)
+        mlen = re.search(rb"/Length\s+(\d+)", eo)
+        o_val, u_val = _dict_string(eo, "O"), _dict_string(eo, "U")
+        if None in (mr, mp, o_val, u_val):
+            raise ValueError("malformed /Encrypt dictionary")
+        r = int(mr.group(1))
+        if r not in (2, 3) or (mv and int(mv.group(1)) > 2):
+            raise ValueError("AES/unsupported encryption (needs pdfminer)")
+        n = (int(mlen.group(1)) // 8) if (mlen and r >= 3) else 5
+        mid = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", data)
+        id0 = bytes.fromhex(mid.group(1).decode("ascii")) if mid else b""
+        fkey = _std_file_key(b"", o_val, int(mp.group(1)), id0, r, n)
+        want = _std_user_value(fkey, id0, r)
+        if want[:16] != u_val[:16]:
+            raise ValueError("password-protected PDF (empty user pw rejected)")
+
+    def crypt_for(num: int):
+        if fkey is None:
+            return None
+        return lambda raw: _rc4(_objkey(fkey, num), raw)
+
+    def sdata(num: int) -> bytes:
+        return _stream_data(obj(num), crypt_for(num))
+
     _objstm_cache: dict[int, tuple[list[int], list[bytes]]] = {}
 
     def objstm(num: int) -> tuple[list[int], list[bytes]]:
         if num not in _objstm_cache:
-            _objstm_cache[num] = _objstm_objects(_object_at(data, offsets[num]))
+            _objstm_cache[num] = _objstm_objects(
+                _object_at(data, offsets[num]), crypt_for(num)
+            )
         return _objstm_cache[num]
 
     if not compressed:
@@ -766,7 +1016,7 @@ def decode_pdf_min(data: bytes) -> str:
             try:
                 tu = _dict_ref(obj(int(fm.group(2))), "ToUnicode")
                 fonts[fm.group(1)] = (
-                    _parse_cmap(_stream_data(obj(tu))) if tu is not None else None
+                    _parse_cmap(sdata(tu)) if tu is not None else None
                 )
             except (KeyError, ValueError):
                 fonts[fm.group(1)] = None
@@ -783,6 +1033,6 @@ def decode_pdf_min(data: bytes) -> str:
             r = _dict_ref(o, "Contents")
             if r is not None:
                 refs = [r]
-        content = b"\n".join(_stream_data(obj(r)) for r in refs)
+        content = b"\n".join(sdata(r) for r in refs)
         texts.append(_page_text(content, page_fonts(o)))
     return "\n".join(texts)

@@ -239,3 +239,63 @@ def test_parse_cmap_forms():
     assert cm[0x01] == "A" and cm[0x02] == "é"
     assert cm[0x10] == "a" and cm[0x11] == "b" and cm[0x12] == "c"
     assert cm[0x20] == "X" and cm[0x21] == "€"
+
+
+def test_pdf_encrypted_roundtrip_r2_r3():
+    """Standard security handler (ISO 32000 §7.6.3): RC4 stream
+    encryption with MD5 key derivation, empty user password.  Covers
+    both revision 2 (40-bit) and revision 3 (128-bit)."""
+    from crawler_spark.pdfcodec import decode_pdf_min, encode_pdf_encrypted
+
+    text = (
+        "Hello GDPR Article 83(5)\n"
+        "fine of €2,500,000 (two) [three]\n"
+        "escapes \\ and (parens) survive"
+    )
+    for r in (2, 3):
+        pdf = encode_pdf_encrypted(text, r=r)
+        assert b"/Encrypt" in pdf and b"/Filter /Standard" in pdf
+        assert decode_pdf_min(pdf) == text
+
+
+def test_pdf_encrypted_is_load_bearing():
+    """The stored stream bytes must be ciphertext: inflating them raw
+    fails, and a decoder given a corrupted /U (i.e. a real password)
+    refuses rather than emitting garbage."""
+    import re
+    import zlib
+
+    import pytest
+
+    from crawler_spark.pdfcodec import decode_pdf_min, encode_pdf_encrypted
+
+    text = "top secret fine schedule\nsecond line"
+    pdf = encode_pdf_encrypted(text, r=3)
+    # every stream body is RC4 ciphertext -> zlib can't inflate it
+    for m in re.finditer(rb"stream\r?\n", pdf):
+        body = pdf[m.end() : pdf.find(b"endstream", m.end())]
+        with pytest.raises(zlib.error):
+            zlib.decompress(body)
+    # flip one /U byte -> ValueError, not wrong text
+    i = pdf.find(b"/U (") + 4
+    bad = pdf[:i] + bytes([pdf[i] ^ 0x55]) + pdf[i + 1 :]
+    with pytest.raises(ValueError):
+        decode_pdf_min(bad)
+
+
+def test_pdf_encrypted_damaged_xref_scan():
+    from crawler_spark.pdfcodec import decode_pdf_min, encode_pdf_encrypted
+
+    long = "\n".join(f"line {i} content alpha" for i in range(120))
+    pdf = encode_pdf_encrypted(long, r=3)
+    assert decode_pdf_min(pdf) == long
+    assert decode_pdf_min(pdf.replace(b"startxref", b"startxrEF")) == long
+
+
+def test_rc4_public_vector():
+    """Pin the RC4 primitive to the classic public test vector
+    (key 'Key' / plaintext 'Plaintext')."""
+    from crawler_spark.pdfcodec import _rc4
+
+    assert _rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert _rc4(b"Key", _rc4(b"Key", b"Plaintext")) == b"Plaintext"
