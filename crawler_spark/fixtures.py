@@ -37,7 +37,7 @@ from . import extract as X
 AS_OF = date(2024, 1, 15)  # frozen 'today' for the retention window (P1)
 # bump when fixture layout changes: fixture_dir() regenerates cached dirs
 # whose marker carries a different version
-FIXTURE_VERSION = "v8"  # v8: half the fixture pdfs are 1.5 (ObjStm/XRef/ToUnicode)
+FIXTURE_VERSION = "v9"  # v9: pdfs rotate classic-1.4 / 1.5 / RC4-encrypted
 CDN_HOST = "cdn.example.eu"
 HOSTS = {
     "austria": "www.dsb.gv.at",
@@ -342,19 +342,23 @@ def _make_docx(text: str) -> bytes:
 def _make_pdf(payload: str) -> bytes:
     """A REAL minimal PDF carrying ``payload`` — the document format
     most reference scrapers fetch (textract on .pdf); replaces the
-    pre-round-4 %PDF-FAKE container.  Deterministically alternates (by
+    pre-round-4 %PDF-FAKE container.  Deterministically rotates (by
     payload crc) between the classic encoder (xref table, WinAnsi Type1
-    font) and the PDF-1.5 encoder (object streams, xref stream,
-    /ToUnicode CMap with a shifted byte encoding), so every crawl
-    profile's byte-identity suite exercises BOTH decoder paths.
+    font), the PDF-1.5 encoder (object streams, xref stream, /ToUnicode
+    CMap with a shifted byte encoding), and the RC4-encrypted encoder
+    (standard security handler, empty user password), so every crawl
+    profile's byte-identity suite exercises ALL THREE decoder paths.
     Round-trips exactly through extract.decode_pdf
     (tests/test_decoders.py)."""
     import zlib as _zlib
 
-    from .pdfcodec import encode_pdf, encode_pdf15
+    from .pdfcodec import encode_pdf, encode_pdf15, encode_pdf_encrypted
 
-    if _zlib.crc32(payload.encode("utf-8")) & 1:
+    sel = _zlib.crc32(payload.encode("utf-8")) % 3
+    if sel == 1:
         return encode_pdf15(payload)
+    if sel == 2:
+        return encode_pdf_encrypted(payload)
     return encode_pdf(payload)
 
 

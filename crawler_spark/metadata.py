@@ -566,29 +566,50 @@ EN_MONTHS = (
     "january", "february", "march", "april", "may", "june", "july",
     "august", "september", "october", "november", "december",
 )
+#: ``%b`` abbreviations (each is the full name's first three letters) —
+#: AbsoluteDateSpecification.month_is_present accepts them
+#: (absolute_date_specification.py:10-16: ``date.strftime('%b')``), so
+#: dateparser hits like "3 jan 2021" pass the reference's filter.  Note
+#: the spec compares TOKENS, so only the exact three-letter form counts
+#: ("sept" is rejected — the token differs from strftime's "sep").
+EN_MONTHS_ABBR = tuple(m[:3] for m in EN_MONTHS)
 _MONTHS_ALT = "|".join(EN_MONTHS)
+#: abbreviation alternation minus names equal to a full name ("may") —
+#: those already match the full-name patterns; keeping them out of the
+#: abbr ALTERNATION prevents the same substring matching two forms.
+#: Resolution still uses the FULL abbr table so positions line up.
+_ABBR_ALT = "|".join(m for m in EN_MONTHS_ABBR if m not in EN_MONTHS)
 
 #: the absolute forms the deterministic search recognizes — the
-#: reference uses ``dateparser.search_dates(STRICT_PARSING)`` plus
-#: AbsoluteDateSpecification (day AND month AND year present,
-#: absolute_date_specification.py:35-46); month-only or relative
-#: expressions never match these patterns.  Forms 5-6 cover dateparser's
-#: free-form English hits ("the 3rd of may, 2021", "may 3rd, 2021") —
-#: each requires the ordinal suffix so no sentence matches two forms.
+#: reference uses ``dateparser.search_dates(s, languages=['en'],
+#: STRICT_PARSING)`` with the freshness (relative-date) parser DISABLED
+#: (timeline_metadata_service/__init__.py:13,21-24) plus
+#: AbsoluteDateSpecification (day AND month AND year present as TOKENS
+#: of the matched snippet, absolute_date_specification.py:36-45);
+#: month-only or relative expressions never match these patterns.
+#:
+#: Ordinal-day forms ("the 3rd of may, 2021", "may 3rd, 2021") are
+#: deliberately ABSENT: dateparser parses them, but the spec's
+#: ``day_is_present`` (absolute_date_specification.py:5-9) looks for the
+#: bare day numeral among the snippet's word tokens and "3rd" is a
+#: single token — so the reference emits NOTHING for them.  The fixture
+#: still plants both as negative decoys.  ``date_tokenize``
+#: (:24-34) splits tokens on '-' and '/', which is what admits the
+#: dashed and slashed numeric forms below.
 TIMELINE_FORMS = (
-    # (pattern, day group, month group (numeric), month-name group, year group)
-    (r"\b([0-9]{4})-([0-9]{2})-([0-9]{2})\b", 3, 2, None, 1),
-    (r"\b([0-9]{1,2})-([0-9]{2})-([0-9]{4})\b", 1, 2, None, 3),
-    (rf"\b([0-9]{{1,2}}) ({_MONTHS_ALT}) ([0-9]{{4}})\b", 1, None, 2, 3),
-    (rf"\b({_MONTHS_ALT}) ([0-9]{{1,2}}), ([0-9]{{4}})\b", 2, None, 1, 3),
-    (
-        rf"\b([0-9]{{1,2}})(?:st|nd|rd|th) of ({_MONTHS_ALT}),? ([0-9]{{4}})\b",
-        1, None, 2, 3,
-    ),
-    (
-        rf"\b({_MONTHS_ALT}) ([0-9]{{1,2}})(?:st|nd|rd|th),? ([0-9]{{4}})\b",
-        2, None, 1, 3,
-    ),
+    # (pattern, day grp, month grp (numeric), month-name grp, year grp,
+    #  month-name resolution table)
+    (r"\b([0-9]{4})-([0-9]{2})-([0-9]{2})\b", 3, 2, None, 1, None),
+    (r"\b([0-9]{1,2})-([0-9]{2})-([0-9]{4})\b", 1, 2, None, 3, None),
+    (rf"\b([0-9]{{1,2}}) ({_MONTHS_ALT}) ([0-9]{{4}})\b", 1, None, 2, 3, EN_MONTHS),
+    # comma optional: dateparser finds "may 3 2021" as well as "may 3, 2021"
+    (rf"\b({_MONTHS_ALT}) ([0-9]{{1,2}}),? ([0-9]{{4}})\b", 2, None, 1, 3, EN_MONTHS),
+    (rf"\b([0-9]{{1,2}}) ({_ABBR_ALT}) ([0-9]{{4}})\b", 1, None, 2, 3, EN_MONTHS_ABBR),
+    (rf"\b({_ABBR_ALT}) ([0-9]{{1,2}}),? ([0-9]{{4}})\b", 2, None, 1, 3, EN_MONTHS_ABBR),
+    # dashed month-name dates: date_tokenize splits "3-may-2021" into
+    # day/month/year tokens, so the spec accepts them
+    (rf"\b([0-9]{{1,2}})-({_MONTHS_ALT})-([0-9]{{4}})\b", 1, None, 2, 3, EN_MONTHS),
+    (rf"\b([0-9]{{1,2}})-({_ABBR_ALT})-([0-9]{{4}})\b", 1, None, 2, 3, EN_MONTHS_ABBR),
 )
 
 #: slash-numeric form with dateparser's English resolution: MDY when the
@@ -677,17 +698,25 @@ def with_timeline_text(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("th"))
     )
     dd_ord = F.concat(dd.cast("string"), suffix)
-    form = F.col("doc_id") % 7
+    mabbr = F.substring(mname, 1, 3)
+    form = F.col("doc_id") % 10
     datestr = (
         F.when(form == 0, F.concat(y.cast("string"), F.lit("-"), two(m), F.lit("-"), two(dd)))
         .when(form == 1, F.concat(two(dd), F.lit("-"), two(m), F.lit("-"), y.cast("string")))
         .when(form == 2, F.concat(dd.cast("string"), F.lit(" "), mname, F.lit(" "), y.cast("string")))
         .when(form == 3, F.concat(mname, F.lit(" "), dd.cast("string"), F.lit(", "), y.cast("string")))
-        # dateparser-style free-form hits: "the 3rd of may, 2021",
-        # "may 3rd, 2021", and MDY slash numerics
+        # NEGATIVE decoys: dateparser parses ordinal-day forms but the
+        # reference's AbsoluteDateSpecification rejects them ("3rd" is
+        # one token, so the bare day numeral is absent —
+        # absolute_date_specification.py:5-9,36-45); neither engine may
+        # emit an event for forms 4-5
         .when(form == 4, F.concat(F.lit("the "), dd_ord, F.lit(" of "), mname, F.lit(", "), y.cast("string")))
         .when(form == 5, F.concat(mname, F.lit(" "), dd_ord, F.lit(", "), y.cast("string")))
-        .otherwise(F.concat(m.cast("string"), F.lit("/"), dd.cast("string"), F.lit("/"), y.cast("string")))
+        .when(form == 6, F.concat(m.cast("string"), F.lit("/"), dd.cast("string"), F.lit("/"), y.cast("string")))
+        # %b abbreviated months, comma-less month-first, dashed names
+        .when(form == 7, F.concat(dd.cast("string"), F.lit(" "), mabbr, F.lit(" "), y.cast("string")))
+        .when(form == 8, F.concat(mabbr, F.lit(" "), dd.cast("string"), F.lit(" "), y.cast("string")))
+        .otherwise(F.concat(dd.cast("string"), F.lit("-"), mname, F.lit("-"), y.cast("string")))
     )
     # locale sentence: docs in fr/es/de/hr/hu/nl/pl carry one extra
     # absolute date in their own language's month names, zh docs the
@@ -763,14 +792,17 @@ _DUCK_LOCALE_EXTRA = (
 
 DUCK_TIMELINE_TEXT = (
     "text || '. The decision was issued on ' || "
-    "(CASE doc_id % 7 "
+    "(CASE doc_id % 10 "
     " WHEN 0 THEN cast(yy as varchar) || '-' || lpad(cast(mm as varchar),2,'0') || '-' || lpad(cast(dd as varchar),2,'0')"
     " WHEN 1 THEN lpad(cast(dd as varchar),2,'0') || '-' || lpad(cast(mm as varchar),2,'0') || '-' || cast(yy as varchar)"
     " WHEN 2 THEN cast(dd as varchar) || ' ' || mname || ' ' || cast(yy as varchar)"
     " WHEN 3 THEN mname || ' ' || cast(dd as varchar) || ', ' || cast(yy as varchar)"
     f" WHEN 4 THEN 'the ' || {_DUCK_DD_ORD} || ' of ' || mname || ', ' || cast(yy as varchar)"
     f" WHEN 5 THEN mname || ' ' || {_DUCK_DD_ORD} || ', ' || cast(yy as varchar)"
-    " ELSE cast(mm as varchar) || '/' || cast(dd as varchar) || '/' || cast(yy as varchar) END)"
+    " WHEN 6 THEN cast(mm as varchar) || '/' || cast(dd as varchar) || '/' || cast(yy as varchar)"
+    " WHEN 7 THEN cast(dd as varchar) || ' ' || substr(mname,1,3) || ' ' || cast(yy as varchar)"
+    " WHEN 8 THEN substr(mname,1,3) || ' ' || cast(dd as varchar) || ' ' || cast(yy as varchar)"
+    " ELSE cast(dd as varchar) || '-' || mname || '-' || cast(yy as varchar) END)"
     f" || {_DUCK_LOCALE_EXTRA}"
     " || '. Proceedings opened in ' || mname || ' ' || cast(yy as varchar) || ' generally.'"
 )
@@ -779,10 +811,16 @@ DUCK_TIMELINE_TEXT = (
 def timeline_full(docs: DataFrame) -> DataFrame:
     """A5 with the reference's absolute-date semantics
     (timeline_metadata_service/__init__.py:8-41 + the day/month/year
-    presence spec): per sentence, collect dates where day, month AND
-    year are explicitly present (seven concrete forms — incl. the
-    ordinal/"of"/slash free-forms dateparser finds — replacing
-    dateparser's fuzzy search), emit dd/MM/yyyy strings (:31).
+    token-presence spec): per sentence, collect dates where the bare day
+    numeral, a month (full name, ``%b`` abbreviation, or number) AND a
+    4-digit year are explicitly present as snippet tokens — the
+    :data:`TIMELINE_FORMS` family standing in for dateparser's fuzzy
+    ``search_dates``, whose freshness (relative-date) parser the
+    reference disables outright (:13).  Ordinal-day hits are rejected
+    exactly as AbsoluteDateSpecification does (see TIMELINE_FORMS).
+    Emits dd/MM/yyyy strings (:31).  The lang-gated locale forms extend
+    the reference (which hardcodes ``languages=['en']``, :21) the way
+    its per-country scrapers would need.
     Output: (doc_id, date_str, n).
     """
     d = with_timeline_text(docs)
@@ -792,9 +830,8 @@ def timeline_full(docs: DataFrame) -> DataFrame:
         lang.alias("lang"),
         F.explode(F.expr("split(lower(text), '[.!?] ')")).alias("sent"),
     )
-    months = F.array(*[F.lit(x) for x in EN_MONTHS])
     parts = []
-    for pat, gd, gm, gmn, gy in TIMELINE_FORMS:
+    for pat, gd, gm, gmn, gy, mtab in TIMELINE_FORMS:
         sql_pat = pat.replace("\\", "\\\\").replace("'", "''")
         m = sent.select(
             "doc_id",
@@ -807,6 +844,7 @@ def timeline_full(docs: DataFrame) -> DataFrame:
         if gm is not None:
             month = F.regexp_extract("m", pat, gm).cast("int")
         else:
+            months = F.array(*[F.lit(x) for x in mtab])
             month = F.array_position(months, F.regexp_extract("m", pat, gmn)).cast(
                 "int"
             )

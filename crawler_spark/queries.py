@@ -1222,12 +1222,17 @@ def q_timeline_full(spark, sf_dir):
 def _oracle_timeline_full() -> str:
     months = "[" + ", ".join(f"'{m}'" for m in metadata.EN_MONTHS) + "]"
     form_selects = []
-    for pat, gd, gm, gmn, gy in metadata.TIMELINE_FORMS:
+    for pat, gd, gm, gmn, gy, mtab in metadata.TIMELINE_FORMS:
         p = pat.replace("'", "''")
+        mlist = (
+            "[" + ", ".join(f"'{m}'" for m in mtab) + "]"
+            if mtab is not None
+            else None
+        )
         month = (
             f"cast(regexp_extract(m, '{p}', {gm}) as int)"
             if gm is not None
-            else f"cast(list_position({months}, regexp_extract(m, '{p}', {gmn})) as int)"
+            else f"cast(list_position({mlist}, regexp_extract(m, '{p}', {gmn})) as int)"
         )
         form_selects.append(
             f"SELECT doc_id, lpad(cast(cast(regexp_extract(m, '{p}', {gd}) as int) as varchar), 2, '0')"

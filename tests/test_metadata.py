@@ -174,3 +174,40 @@ def test_keywords_lemma_exceptions_match_wordnet_pos_n(spark):
     # is the documented suffix-rule stand-in divergence: WordNet's
     # ses->s rule needs the noun dictionary to validate candidates)
     assert "lady" in grams and "case" in grams and "glasse" in grams
+
+
+def test_timeline_spec_faithful_forms(spark):
+    """Round-5 A5: the forms mirror AbsoluteDateSpecification exactly —
+    %b abbreviated months, comma-less month-first, and dashed
+    month-name dates are ACCEPTED (day/month/year all present as
+    tokens, absolute_date_specification.py:5-22,36-45), while
+    ordinal-day forms dateparser parses are REJECTED ('3rd' is one
+    token, so the bare day numeral is absent)."""
+    rows = [
+        (0, "issued on 3 jan 2021 formally", "en"),
+        (1, "issued on jan 3 2021 formally", "en"),
+        (2, "issued on 3-may-2021 formally", "en"),
+        (3, "issued on 3-feb-2021 formally", "en"),
+        (4, "issued on may 3 2021 formally", "en"),
+        # negatives: ordinal day / missing components / wrong abbr
+        (5, "issued on the 3rd of may, 2021 formally", "en"),
+        (6, "issued on may 3rd, 2021 formally", "en"),
+        (7, "issued in may 2021 generally", "en"),
+        (8, "issued on 3 sept 2021 formally", "en"),  # token != %b
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {}
+    for r in metadata.timeline_full(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["date_str"])
+    # timeline_full augments with the planted fixture date too (all
+    # year 2018 for these doc_ids) — assert membership of the 2021
+    # probe dates only
+    assert "03/01/2021" in got[0]
+    assert "03/01/2021" in got[1]
+    assert "03/05/2021" in got[2]
+    assert "03/02/2021" in got[3]
+    assert "03/05/2021" in got[4]
+    for neg, would_be in ((5, "03/05/2021"), (6, "03/05/2021"),
+                          (8, "03/09/2021")):
+        assert would_be not in got.get(neg, set()), (neg, got.get(neg))
+    assert not any(d.endswith("/2021") for d in got.get(7, set()))
