@@ -37,7 +37,7 @@ from . import extract as X
 AS_OF = date(2024, 1, 15)  # frozen 'today' for the retention window (P1)
 # bump when fixture layout changes: fixture_dir() regenerates cached dirs
 # whose marker carries a different version
-FIXTURE_VERSION = "v9"  # v9: pdfs rotate classic-1.4 / 1.5 / RC4-encrypted
+FIXTURE_VERSION = "v10"  # v10: pdf rotation gains the AESV2-encrypted variant
 CDN_HOST = "cdn.example.eu"
 HOSTS = {
     "austria": "www.dsb.gv.at",
@@ -345,20 +345,23 @@ def _make_pdf(payload: str) -> bytes:
     pre-round-4 %PDF-FAKE container.  Deterministically rotates (by
     payload crc) between the classic encoder (xref table, WinAnsi Type1
     font), the PDF-1.5 encoder (object streams, xref stream, /ToUnicode
-    CMap with a shifted byte encoding), and the RC4-encrypted encoder
-    (standard security handler, empty user password), so every crawl
-    profile's byte-identity suite exercises ALL THREE decoder paths.
-    Round-trips exactly through extract.decode_pdf
+    CMap with a shifted byte encoding), the RC4-encrypted encoder
+    (standard security handler R3, empty user password), and the
+    AESV2-encrypted encoder (V4/R4, AES-128-CBC crypt filter), so every
+    crawl profile's byte-identity suite exercises ALL FOUR decoder
+    paths.  Round-trips exactly through extract.decode_pdf
     (tests/test_decoders.py)."""
     import zlib as _zlib
 
     from .pdfcodec import encode_pdf, encode_pdf15, encode_pdf_encrypted
 
-    sel = _zlib.crc32(payload.encode("utf-8")) % 3
+    sel = _zlib.crc32(payload.encode("utf-8")) % 4
     if sel == 1:
         return encode_pdf15(payload)
     if sel == 2:
         return encode_pdf_encrypted(payload)
+    if sel == 3:
+        return encode_pdf_encrypted(payload, r=4)
     return encode_pdf(payload)
 
 

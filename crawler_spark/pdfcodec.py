@@ -32,8 +32,11 @@ per-``Tf`` font dispatch in the content-stream scanner.
 :func:`encode_pdf_encrypted` / the same decoder additionally cover the
 standard security handler (ISO 32000 §7.6.3): RC4 stream encryption
 with the MD5 key-derivation algorithms 2/3/4/5, both revision 2
-(40-bit, PDF 1.1-1.3 era) and revision 3 (128-bit, the dominant form
-for pre-AES government documents).  Decryption assumes the empty user
+(40-bit, PDF 1.1-1.3 era), revision 3 (128-bit RC4, the dominant form
+for pre-AES government documents), and revision 4 with the /AESV2
+crypt filter (AES-128-CBC per FIPS-197, implemented from the public
+spec and pinned to the NIST vectors — the post-2008 default most real
+encrypted PDFs use).  Decryption assumes the empty user
 password — the "owner-locked but world-readable" configuration nearly
 all published DPA decisions use — and verifies it against /U before
 decrypting; a real password raises rather than emitting garbage.
@@ -410,14 +413,160 @@ def _std_user_value(key: bytes, id0: bytes, r: int) -> bytes:
     return u + b"\x00" * 16  # arbitrary 16-byte tail; compares ignore it
 
 
-def _objkey(key: bytes, num: int, gen: int = 0) -> bytes:
-    """Algorithm 1: the per-object RC4 key."""
+def _objkey(key: bytes, num: int, gen: int = 0, aes: bool = False) -> bytes:
+    """Algorithm 1: the per-object key.  For /AESV2 the spec appends the
+    fixed bytes ``sAlT`` (0x73416C54) to the MD5 input."""
     from hashlib import md5
 
     h = md5(
-        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        key
+        + num.to_bytes(3, "little")
+        + gen.to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(key) + 5, 16)]
+
+
+# -- AES-128 (FIPS-197) for the /AESV2 crypt filter -------------------------
+
+def _aes_tables() -> tuple[bytes, bytes]:
+    """Generate the S-box and its inverse from the GF(2^8) definition."""
+    p, q = 1, 1
+    sbox = bytearray(256)
+    # multiplicative inverses via the 3/0xf6 generator walk
+    while True:
+        p = p ^ ((p << 1) & 0xFF) ^ (0x1B if p & 0x80 else 0)
+        q ^= q << 1
+        q ^= q << 2
+        q ^= q << 4
+        q &= 0xFF
+        if q & 0x80:
+            q ^= 0x09
+        x = q ^ ((q << 1) | (q >> 7)) ^ ((q << 2) | (q >> 6)) \
+            ^ ((q << 3) | (q >> 5)) ^ ((q << 4) | (q >> 4))
+        sbox[p] = (x ^ 0x63) & 0xFF
+        if p == 1:
+            break
+    sbox[0] = 0x63
+    inv = bytearray(256)
+    for i, s in enumerate(sbox):
+        inv[s] = i
+    return bytes(sbox), bytes(inv)
+
+
+_SBOX, _INV_SBOX = _aes_tables()
+
+
+def _xtime(a: int) -> int:
+    return ((a << 1) ^ 0x1B) & 0xFF if a & 0x80 else a << 1
+
+
+def _gmul(a: int, b: int) -> int:
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        a = _xtime(a)
+        b >>= 1
+    return r
+
+
+def _aes_expand_key(key: bytes) -> list[bytes]:
+    """128-bit key schedule: 11 round keys of 16 bytes."""
+    w = [key[i : i + 4] for i in range(0, 16, 4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = bytearray(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = bytearray(_SBOX[b] for b in t)
+            t[0] ^= rcon
+            rcon = _xtime(rcon)
+        w.append(bytes(a ^ b for a, b in zip(w[i - 4], t)))
+    return [b"".join(w[r : r + 4]) for r in range(0, 44, 4)]
+
+
+def _aes_block(block: bytes, rks: list[bytes], decrypt: bool) -> bytes:
+    """One 16-byte AES-128 block, column-major state per FIPS-197."""
+    s = [[block[r + 4 * c] for c in range(4)] for r in range(4)]
+
+    def add_rk(rk: bytes) -> None:
+        for c in range(4):
+            for r in range(4):
+                s[r][c] ^= rk[r + 4 * c]
+
+    def sub(box: bytes) -> None:
+        for r in range(4):
+            for c in range(4):
+                s[r][c] = box[s[r][c]]
+
+    def shift(sign: int) -> None:
+        for r in range(1, 4):
+            s[r] = s[r][sign * r :] + s[r][: sign * r]
+
+    def mix(m: tuple[int, int, int, int]) -> None:
+        for c in range(4):
+            col = [s[r][c] for r in range(4)]
+            for r in range(4):
+                s[r][c] = (
+                    _gmul(col[0], m[r % 4])
+                    ^ _gmul(col[1], m[(r + 3) % 4])
+                    ^ _gmul(col[2], m[(r + 2) % 4])
+                    ^ _gmul(col[3], m[(r + 1) % 4])
+                )
+
+    if not decrypt:
+        add_rk(rks[0])
+        for rnd in range(1, 10):
+            sub(_SBOX)
+            shift(1)
+            mix((2, 1, 1, 3))
+            add_rk(rks[rnd])
+        sub(_SBOX)
+        shift(1)
+        add_rk(rks[10])
+    else:
+        add_rk(rks[10])
+        for rnd in range(9, 0, -1):
+            shift(-1)
+            sub(_INV_SBOX)
+            add_rk(rks[rnd])
+            mix((14, 9, 13, 11))
+        shift(-1)
+        sub(_INV_SBOX)
+        add_rk(rks[0])
+    return bytes(s[r % 4][r // 4] for r in range(16))
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AESV2 stream layout: 16-byte IV prefix + CBC ciphertext with
+    PKCS#5 padding (ISO 32000-1 §7.6.2)."""
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("malformed AES stream")
+    rks = _aes_expand_key(key)
+    iv, out = data[:16], bytearray()
+    for i in range(16, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_aes_block(blk, rks, True), iv))
+        iv = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        raise ValueError("bad AES padding")
+    return bytes(out[:-pad])
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rks = _aes_expand_key(key)
+    pad = 16 - len(data) % 16
+    data += bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        prev = _aes_block(
+            bytes(a ^ b for a, b in zip(data[i : i + 16], prev)), rks, False
+        )
+        out += prev
+    return bytes(out)
 
 
 def encode_pdf_encrypted(
@@ -429,14 +578,16 @@ def encode_pdf_encrypted(
     under its per-object key.  The user password is EMPTY (the
     owner-locked form published documents use), so
     :func:`decode_pdf_min` round-trips it without credentials.
-    ``r=3`` writes the 128-bit revision-3 form; ``r=2`` the 40-bit
-    revision-2 form."""
+    ``r=3`` writes the 128-bit RC4 revision-3 form; ``r=2`` the 40-bit
+    revision-2 form; ``r=4`` the V4 form with the /AESV2 crypt filter
+    (AES-128-CBC, 16-byte IV prefix, PKCS#5 padding) applied to all
+    streams via /StmF /StdCF."""
     from hashlib import md5
 
-    if r not in (2, 3):
-        raise ValueError("standard handler revisions 2 and 3 only")
-    n = 16 if r == 3 else 5
-    p = -3904 if r == 3 else -64  # print-only permissions, sign-extended
+    if r not in (2, 3, 4):
+        raise ValueError("standard handler revisions 2-4 only")
+    n = 16 if r >= 3 else 5
+    p = -3904 if r >= 3 else -64  # print-only permissions, sign-extended
     id0 = md5(text.encode("utf-8", "replace")).digest()
     o = _std_owner_value(owner_pw, b"", r, n)
     key = _std_file_key(b"", o, p, id0, r, n)
@@ -470,16 +621,28 @@ def encode_pdf_encrypted(
             b" /Resources << /Font << /F1 3 0 R >> >>"
             b" /Contents %d 0 R >>" % (*_MEDIA, page_no + 1)
         )
-        data = _rc4(
-            _objkey(key, page_no + 1), zlib.compress(_content_stream(page_lines))
-        )
+        plain = zlib.compress(_content_stream(page_lines))
+        ok = _objkey(key, page_no + 1, aes=(r == 4))
+        if r == 4:
+            # deterministic IV (fixtures must be reproducible byte-wise);
+            # uniqueness per object is what CBC actually needs here
+            iv = md5(b"iv" + ok).digest()
+            data = _aes_cbc_encrypt(ok, iv, plain)
+        else:
+            data = _rc4(ok, plain)
         objects.append(
             b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
             + data
             + b"\nendstream"
         )
     enc_num = len(objects) + 1
-    if r == 3:
+    if r == 4:
+        handler = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+            b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+            b" /StmF /StdCF /StrF /StdCF /P %d " % p
+        )
+    elif r == 3:
         handler = b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d " % p
     else:
         handler = b"<< /Filter /Standard /V 1 /R 2 /P %d " % p
@@ -914,6 +1077,7 @@ def decode_pdf_min(data: bytes) -> str:
     # /Encrypt dict (itself never encrypted) under the EMPTY user
     # password, verifying against /U first (Algorithms 2/4/5/6)
     fkey: bytes | None = None
+    aes_filter = False
     menc = None
     # trailer dicts live in the file tail; restricting the search there
     # keeps page text that merely MENTIONS '/Encrypt N 0 R' inert
@@ -937,8 +1101,16 @@ def decode_pdf_min(data: bytes) -> str:
         if None in (mr, mp, o_val, u_val):
             raise ValueError("malformed /Encrypt dictionary")
         r = int(mr.group(1))
-        if r not in (2, 3) or (mv and int(mv.group(1)) > 2):
-            raise ValueError("AES/unsupported encryption (needs pdfminer)")
+        v = int(mv.group(1)) if mv else (2 if r == 3 else 1)
+        if v == 4:
+            # crypt-filter dict: only /AESV2 (AES-128-CBC) and /V2
+            # (RC4) stream filters are supported
+            if b"/AESV2" in eo:
+                aes_filter = True
+            elif b"/CFM /V2" not in eo and b"/CFM/V2" not in eo:
+                raise ValueError("unsupported crypt filter (needs pdfminer)")
+        if r not in (2, 3, 4) or v > 4:
+            raise ValueError("AESV3/unsupported encryption (needs pdfminer)")
         n = (int(mlen.group(1)) // 8) if (mlen and r >= 3) else 5
         mid = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", data)
         id0 = bytes.fromhex(mid.group(1).decode("ascii")) if mid else b""
@@ -950,6 +1122,10 @@ def decode_pdf_min(data: bytes) -> str:
     def crypt_for(num: int):
         if fkey is None:
             return None
+        if aes_filter:
+            return lambda raw: _aes_cbc_decrypt(
+                _objkey(fkey, num, aes=True), raw
+            )
         return lambda raw: _rc4(_objkey(fkey, num), raw)
 
     def sdata(num: int) -> bytes:

@@ -299,3 +299,45 @@ def test_rc4_public_vector():
 
     assert _rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
     assert _rc4(b"Key", _rc4(b"Key", b"Plaintext")) == b"Plaintext"
+
+
+def test_aes128_fips197_and_sp80038a_vectors():
+    """Pin the AES-128 primitive to the public FIPS-197 appendix C.1
+    block vector and the SP 800-38A CBC-AES128 first-block vector."""
+    from crawler_spark.pdfcodec import (
+        _aes_block, _aes_cbc_decrypt, _aes_cbc_encrypt, _aes_expand_key,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = _aes_block(pt, _aes_expand_key(key), False)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _aes_block(ct, _aes_expand_key(key), True) == pt
+
+    k2 = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv2 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    p2 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    assert _aes_cbc_encrypt(k2, iv2, p2)[16:32].hex() == (
+        "7649abac8119b246cee98e9b12e9197d"
+    )
+    data = b"padding across more than one block boundary!"
+    assert _aes_cbc_decrypt(k2, _aes_cbc_encrypt(k2, iv2, data)) == data
+
+
+def test_pdf_aesv2_roundtrip_and_damaged_xref():
+    """V4/R4 with the /AESV2 crypt filter: IV-prefixed AES-128-CBC
+    streams, per-object keys salted with 'sAlT' (ISO 32000 §7.6.2)."""
+    from crawler_spark.pdfcodec import decode_pdf_min, encode_pdf_encrypted
+
+    text = (
+        "Hello GDPR Article 83(5)\n"
+        "fine of €2,500,000 (two) [three]\n"
+        "escapes \\ and (parens) survive"
+    )
+    pdf = encode_pdf_encrypted(text, r=4)
+    assert b"/AESV2" in pdf and b"/V 4" in pdf and b"/R 4" in pdf
+    assert decode_pdf_min(pdf) == text
+    long = "\n".join(f"line {i} content alpha" for i in range(120))
+    p2 = encode_pdf_encrypted(long, r=4)
+    assert decode_pdf_min(p2) == long
+    assert decode_pdf_min(p2.replace(b"startxref", b"startxrEF")) == long
