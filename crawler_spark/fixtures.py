@@ -37,7 +37,7 @@ from . import extract as X
 AS_OF = date(2024, 1, 15)  # frozen 'today' for the retention window (P1)
 # bump when fixture layout changes: fixture_dir() regenerates cached dirs
 # whose marker carries a different version
-FIXTURE_VERSION = "v10"  # v10: pdf rotation gains the AESV2-encrypted variant
+FIXTURE_VERSION = "v11"  # v11: 4-way pdf rotation (incl RC4/AESV2) in sf* only
 CDN_HOST = "cdn.example.eu"
 HOSTS = {
     "austria": "www.dsb.gv.at",
@@ -345,17 +345,23 @@ def _make_pdf(payload: str) -> bytes:
     pre-round-4 %PDF-FAKE container.  Deterministically rotates (by
     payload crc) between the classic encoder (xref table, WinAnsi Type1
     font), the PDF-1.5 encoder (object streams, xref stream, /ToUnicode
-    CMap with a shifted byte encoding), the RC4-encrypted encoder
-    (standard security handler R3, empty user password), and the
-    AESV2-encrypted encoder (V4/R4, AES-128-CBC crypt filter), so every
-    crawl profile's byte-identity suite exercises ALL FOUR decoder
-    paths.  Round-trips exactly through extract.decode_pdf
+    CMap with a shifted byte encoding), and — in the correctness (sf*)
+    profiles, where ``generate(encrypted_pdfs=True)`` arms the full
+    rotation — the RC4-encrypted (standard security handler R3, empty
+    user password) and AESV2-encrypted (V4/R4, AES-128-CBC crypt
+    filter) encoders, so the sf byte-identity suites exercise ALL FOUR
+    decoder paths.  Bench/wide/scale profiles keep the two cheap
+    containers: the pure-Python ciphers cost ~2-15 ms/doc to decode
+    (a measured 25 s serial bill over wide29_0.1's 9.4k PDFs), and
+    decoder coverage is a correctness concern, not a throughput input —
+    the same rule that keeps scanned PDFs out of bench fixtures.
+    Round-trips exactly through extract.decode_pdf
     (tests/test_decoders.py)."""
     import zlib as _zlib
 
     from .pdfcodec import encode_pdf, encode_pdf15, encode_pdf_encrypted
 
-    sel = _zlib.crc32(payload.encode("utf-8")) % 4
+    sel = _zlib.crc32(payload.encode("utf-8")) % (4 if _ENCRYPTED_PDFS else 2)
     if sel == 1:
         return encode_pdf15(payload)
     if sel == 2:
@@ -363,6 +369,11 @@ def _make_pdf(payload: str) -> bytes:
     if sel == 3:
         return encode_pdf_encrypted(payload, r=4)
     return encode_pdf(payload)
+
+
+#: armed by generate(encrypted_pdfs=True) for the duration of one
+#: single-threaded fixture generation (sf* correctness profiles)
+_ENCRYPTED_PDFS = False
 
 
 def _be_zip_bytes(a: str, p: int, i: int) -> bytes:
@@ -855,6 +866,7 @@ def generate(
     doc_pad_lines: int = 0,
     ground_truth: bool = True,
     scanned_pdfs: bool = False,
+    encrypted_pdfs: bool = False,
 ) -> dict[str, str]:
     """Write pages/seeds/robots parquet under out_dir; returns paths.
 
@@ -870,6 +882,27 @@ def generate(
     not in the throughput-bench inputs.  Pages stream to the parquet
     writer in chunks so multi-GB fixtures never sit in one DataFrame.
     """
+    global _ENCRYPTED_PDFS
+    _ENCRYPTED_PDFS = encrypted_pdfs
+    try:
+        return _generate_impl(
+            out_dir, n_pages, n_items, n_files, authorities,
+            doc_pad_lines, ground_truth, scanned_pdfs,
+        )
+    finally:
+        _ENCRYPTED_PDFS = False
+
+
+def _generate_impl(
+    out_dir: str,
+    n_pages: int,
+    n_items: int,
+    n_files: int,
+    authorities: tuple[str, ...],
+    doc_pad_lines: int,
+    ground_truth: bool,
+    scanned_pdfs: bool,
+) -> dict[str, str]:
     os.makedirs(out_dir, exist_ok=True)
     base_ts = datetime(2024, 1, 10, tzinfo=timezone.utc)
     pages: list[dict] = []
@@ -1218,6 +1251,7 @@ def fixture_dir(profile: str = "sf0.01", root: str = "/tmp/crawler_spark_fixture
                 n_items=n_items,
                 n_files=n_files,
                 scanned_pdfs=True,
+                encrypted_pdfs=True,
             )
         with open(marker, "w") as f:
             f.write(FIXTURE_VERSION)
