@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -111,6 +112,7 @@ def run_crawl(spark, sf_dir: str, profile: str | None = None) -> tuple[float, in
     fetched = (
         run.fetch_log.read(spark).agg(F.count("*").alias("n")).collect()[0]["n"]
     )
+    shutil.rmtree(run.state_dir, ignore_errors=True)  # repeated crawls
     return wall, int(fetched)
 
 
@@ -136,12 +138,22 @@ def main() -> None:
 
     urls_per_sec_29 = None
     if os.environ.get("SPARK_GRAFT_SKIP_CRAWL") != "1":
-        wall, fetched = run_crawl(spark, sf_dir)
+        # the crawls get the same best-of treatment as the queries
+        # (single-shot crawl walls swing ±50% with host tenancy —
+        # BENCH/BASELINE.md control experiments), interleaved across
+        # the two fixtures so a contention regime hits both
+        crawl_reps = max(1, int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "2")))
+        walls: list[float] = []
+        walls29: list[float] = []
+        for _ in range(crawl_reps):
+            w, fetched = run_crawl(spark, sf_dir)
+            walls.append(w)
+            w29, fetched29 = run_crawl(spark, sf_dir, crawl_profile_29(sf_dir))
+            walls29.append(w29)
+        wall, wall29 = min(walls), min(walls29)
         per_query["crawl_e2e"] = round(wall, 3)
         total += wall
         urls_per_sec = round(fetched / wall, 2) if wall > 0 else None
-        # 29-shape wide fixture: full registry at bench scale
-        wall29, fetched29 = run_crawl(spark, sf_dir, crawl_profile_29(sf_dir))
         per_query["crawl_e2e_29"] = round(wall29, 3)
         total += wall29
         urls_per_sec_29 = round(fetched29 / wall29, 2) if wall29 > 0 else None
