@@ -341,3 +341,38 @@ def test_pdf_aesv2_roundtrip_and_damaged_xref():
     p2 = encode_pdf_encrypted(long, r=4)
     assert decode_pdf_min(p2) == long
     assert decode_pdf_min(p2.replace(b"startxref", b"startxrEF")) == long
+
+
+def test_pdf_roundtrip_property_all_containers():
+    """Property test: any cp1252-encodable text round-trips through all
+    four containers (classic 1.4, 1.5 ObjStm/XRef/CMap, RC4-R3,
+    AESV2-R4).  Newlines are the page/line structure; other control
+    chars are excluded (the codec's documented text domain)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_spark.pdfcodec import (
+        decode_pdf_min, encode_pdf, encode_pdf15, encode_pdf_encrypted,
+    )
+
+    printable = st.characters(
+        codec="cp1252", exclude_categories=("Cc", "Cs"), include_characters="\n"
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.text(printable, min_size=1, max_size=400))
+    def check(text):
+        # the codec emits one line per text row; trailing empty lines
+        # and CRs are outside the domain (no page content to carry them)
+        text = text.replace("\r", " ")
+        lines = [ln if ln else " " for ln in text.split("\n")]
+        text = "\n".join(lines)
+        for enc in (
+            encode_pdf,
+            encode_pdf15,
+            encode_pdf_encrypted,
+            lambda t: encode_pdf_encrypted(t, r=4),
+        ):
+            assert decode_pdf_min(enc(text)) == text
+
+    check()
