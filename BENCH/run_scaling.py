@@ -48,7 +48,7 @@ STATE_ROOT = "/dev/shm" if SHM else None
 # measured region (observed as 50-80% sys CPU), which is JVM startup
 # cost, not engine throughput.
 spark = get_spark(f"scaling{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=2 * cpus,
+                  shuffle_partitions=max(2 * cpus, 2),
                   extra_conf={{"spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
                               # ~1 row group per split: even task sizes, no
                               # straggler tail, >=3 waves of tasks per core
