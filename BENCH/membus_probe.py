@@ -64,16 +64,19 @@ def bench(fn, n_per: int, procs: int) -> float:
 
 
 def main() -> None:
-    out = {}
+    lo, hi = (int(x) for x in
+              os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(","))
+    assert hi == 4 * lo, "levels must be a 4x pair (N, 4N)"
+    out = {"levels": [lo, hi]}
     for name, fn, n in (
         ("md5_cache_resident", work_md5, 20_000),
         ("html_parse_12kb", work_parse, 1_200),
         ("html_stream_12kb", work_stream, 4_000),
     ):
-        r8, r32 = bench(fn, n, 8), bench(fn, n, 32)
+        r8, r32 = bench(fn, n, lo), bench(fn, n, hi)
         out[name] = {
-            "rate_8p": round(r8, 1),
-            "rate_32p": round(r32, 1),
+            f"rate_{lo}p": round(r8, 1),
+            f"rate_{hi}p": round(r32, 1),
             "efficiency": round((r32 / r8) / 4, 3),
         }
     print(json.dumps(out))

@@ -93,17 +93,21 @@ def main() -> None:
     from crawler_spark import fixtures
 
     fixtures.fixture_dir(profile)
-    r8 = run_level(8, profile)
-    r32 = run_level(32, profile)
+    lo, hi = (int(x) for x in
+              os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(","))
+    assert hi == 4 * lo, "levels must be a 4x pair (N, 4N)"
+    r8 = run_level(lo, profile)
+    r32 = run_level(hi, profile)
     eff = round((r32["rows_per_sec"] / r8["rows_per_sec"]) / 4, 3)
     result = {"stage": "fetch_join+extract(noop)", "N": r8, "4N": r32,
-              "stage_scaling_efficiency": eff, "profile": profile}
+              "stage_scaling_efficiency": eff, "levels": [lo, hi],
+              "profile": profile}
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
             f"\n\n## Stage-level scaling — fetch join + extract only (noop sink)\n\n"
             f"| level | cores | wall (s) | docpages | rows/s |\n|---|---|---|---|---|\n"
-            f"| N  | 8  | {r8['wall_s']} | {r8['rows']} | {r8['rows_per_sec']} |\n"
-            f"| 4N | 32 | {r32['wall_s']} | {r32['rows']} | {r32['rows_per_sec']} |\n\n"
+            f"| N  | {lo}  | {r8['wall_s']} | {r8['rows']} | {r8['rows_per_sec']} |\n"
+            f"| 4N | {hi} | {r32['wall_s']} | {r32['rows']} | {r32['rows_per_sec']} |\n\n"
             f"**Compute-stage scaling efficiency = {eff}** — the gap between\n"
             f"this and the whole-crawl number is the shared single-box\n"
             f"storage (state/scratch writes + page-cache contention), not\n"
