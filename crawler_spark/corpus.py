@@ -1053,3 +1053,58 @@ def span_dedup(docs: DataFrame, span: int = 10) -> DataFrame:
             ).alias("clean_md5"),
         )
     )
+
+
+def c4_line_filter(docs: DataFrame) -> DataFrame:
+    """C4-style line-level cleaning filter (public method, Raffel et
+    al. 2020 §2.2; the reference has no corpus-cleaning stage — its
+    closest analogue is the per-document MIME/type gate at
+    pygdpr/models/dpa/…/__init__.py).
+
+    Line rules (a line survives iff ALL hold):
+
+    - the trimmed line ends in a terminal punctuation mark
+      (``. ! ? "`` or ``'``),
+    - it contains at least 3 words (single-space-run split of the
+      trimmed line),
+    - it does not contain the word "javascript" (case-insensitive).
+
+    Page rules (C4 drops the whole page):
+
+    - fewer than 5 surviving lines (the paper's "fewer than 5
+      sentences", with surviving lines as the deterministic sentence
+      proxy),
+    - the page contains the phrase "lorem ipsum" (case-insensitive),
+    - the page contains a curly bracket.
+
+    (The paper's dirty-word-list page rule needs an external blocklist
+    and is intentionally out of scope; the span dedup it chains into is
+    ``span_dedup``.)
+
+    Everything is built-in SQL expressions — one whole-stage-codegen
+    projection, zero shuffle, no Python: at 100 TB this pins to the
+    parquet scan with the text column as the only wide read.  The md5
+    of the newline-joined surviving lines makes a single wrongly
+    kept/dropped line detectable without shipping the text.
+
+    Output: (doc_id, n_lines, n_kept, page_keep:boolean, clean_md5).
+    """
+    kept = (
+        "filter(split(text, '\\n'), l ->"
+        " trim(l) rlike '[.!?\"\\']$'"
+        " AND size(split(trim(l), ' +')) >= 3"
+        " AND NOT lower(l) rlike 'javascript')"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", "\n")).cast("bigint").alias("n_lines"),
+        F.expr(f"cast(size({kept}) as bigint)").alias("n_kept"),
+        (
+            (F.expr(f"size({kept})") >= 5)
+            & ~F.lower("text").contains("lorem ipsum")
+            & ~F.col("text").contains("{")
+        ).alias("page_keep"),
+        F.md5(
+            F.encode(F.expr(f"concat_ws('\\n', {kept})"), "UTF-8")
+        ).alias("clean_md5"),
+    )

@@ -696,6 +696,93 @@ FROM q
 """
 
 
+def _c4_augmented(spark, sf_dir):
+    """documents with line structure planted per doc_id % 6 so every C4
+    rule exercises both branches (the synthetic corpus is single-line):
+    0 -> a javascript boilerplate line between two good sentences,
+    1 -> a 'Lorem Ipsum' phrase PLUS five good sentences (so the page
+    drop is attributable to the phrase rule alone), 2 -> a curly-brace
+    code line plus the same five (brace rule alone), 3 -> lines
+    without terminal punctuation, 4 -> under-3-word lines, 5 -> the
+    five surviving sentences (page keep).  Same CASE in the oracle."""
+    good5 = (
+        "\nOne good sentence stands right here."
+        "\nAnother good sentence stands right here."
+        "\nA third good sentence stands right here."
+        "\nA fourth good sentence stands right here."
+        "\nA fifth good sentence stands right here."
+    )
+    aug = F.expr(
+        "case cast(doc_id % 6 as int) "
+        "when 0 then concat(text,"
+        " '\nPlease enable JavaScript to view the comments."
+        "\nThis perfectly ordinary sentence should survive the filter.') "
+        "when 1 then concat(text,"
+        f" '\nThe Lorem Ipsum dolor sit amet passage continues here.{good5}') "
+        f"when 2 then concat(text, '\nfunction f() {{ return 1; }}{good5}') "
+        "when 3 then concat(text,"
+        " '\nA line with no terminal punctuation at all"
+        "\nAnother dangling line without an ending') "
+        "when 4 then concat(text, '\nToo short.\nNo. Way.') "
+        f"when 5 then concat(text, '{good5}') "
+        "else text end"
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", aug.alias("text"))
+
+
+_DUCK_GOOD5 = (
+    "chr(10) || 'One good sentence stands right here.'"
+    " || chr(10) || 'Another good sentence stands right here.'"
+    " || chr(10) || 'A third good sentence stands right here.'"
+    " || chr(10) || 'A fourth good sentence stands right here.'"
+    " || chr(10) || 'A fifth good sentence stands right here.'"
+)
+
+_DUCK_C4_AUG = (
+    "SELECT doc_id, CASE cast(doc_id % 6 as int)"
+    " WHEN 0 THEN text || chr(10) ||"
+    "   'Please enable JavaScript to view the comments.' || chr(10) ||"
+    "   'This perfectly ordinary sentence should survive the filter.'"
+    " WHEN 1 THEN text || chr(10) ||"
+    "   'The Lorem Ipsum dolor sit amet passage continues here.' || "
+    + _DUCK_GOOD5
+    + " WHEN 2 THEN text || chr(10) || 'function f() { return 1; }' || "
+    + _DUCK_GOOD5
+    + " WHEN 3 THEN text || chr(10) ||"
+    "   'A line with no terminal punctuation at all' || chr(10) ||"
+    "   'Another dangling line without an ending'"
+    " WHEN 4 THEN text || chr(10) || 'Too short.' || chr(10) || 'No. Way.'"
+    " WHEN 5 THEN text || " + _DUCK_GOOD5 + " ELSE text END AS text FROM documents"
+)
+
+
+def q_c4_filter(spark, sf_dir):
+    """C4 line-level cleaning filter (corpus.c4_line_filter): per-line
+    terminal-punctuation / 3-word / javascript rules + the page-level
+    lorem-ipsum / curly-brace / 5-surviving-lines gates; the md5 of the
+    surviving lines makes one wrongly kept/dropped line fail the hash
+    gate."""
+    return corpus.c4_line_filter(_c4_augmented(spark, sf_dir))
+
+
+ORACLE_C4 = f"""
+WITH a AS ({_DUCK_C4_AUG}),
+t AS (SELECT doc_id, text, str_split(text, chr(10)) AS lines FROM a),
+k AS (SELECT doc_id, text, lines,
+        list_filter(lines, l -> regexp_matches(trim(l), '[.!?"'']$')
+          AND len(string_split_regex(trim(l), ' +')) >= 3
+          AND NOT regexp_matches(lower(l), 'javascript')) AS kept
+      FROM t)
+SELECT doc_id,
+  cast(len(lines) as bigint) AS n_lines,
+  cast(len(kept) as bigint) AS n_kept,
+  (len(kept) >= 5 AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{{')) AS page_keep,
+  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+FROM k
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher repetition signals over word bigrams
     (corpus.ngram_repetition, n=2)."""
@@ -1980,6 +2067,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_pii_scrub": q_pii_scrub,
     "text_quality_gopher": q_gopher_quality,
+    "text_c4_filter": q_c4_filter,
     "url_frontier_filter": q_url_frontier_filter,
     "doc_statistics": q_doc_statistics,
     "doc_keys": q_doc_keys,
@@ -2064,6 +2152,7 @@ ORACLES = {
     "text_tokens": ORACLE_TOKENS,
     "text_pii_scrub": ORACLE_PII_SCRUB,
     "text_quality_gopher": ORACLE_GOPHER,
+    "text_c4_filter": ORACLE_C4,
     "text_repetition": ORACLE_REPETITION,
     "dedup_span": ORACLE_SPAN_DEDUP,
     "url_frontier_filter": ORACLE_URL_FILTER,

@@ -305,3 +305,36 @@ def test_gopher_and_span_plans_stay_jvm_side(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule trips on a line/doc engineered to fail exactly it."""
+    good = "\n".join(
+        f"This sentence number {i} is perfectly ordinary and fine." for i in range(5)
+    )
+    rows = [
+        (0, good),                                        # page keep
+        (1, good + "\nno terminal punctuation here at all"),   # line: punct
+        (2, good + "\nToo short."),                       # line: < 3 words
+        (3, good + "\nPlease enable JavaScript to proceed."),  # line: js
+        (4, good + "\nA lorem ipsum classic filler phrase."),  # page: lorem
+        (5, good + "\nobject = { nested }."),             # page: brace
+        (6, "Only one good sentence lives here."),        # page: < 5 lines
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.c4_line_filter(d).collect()}
+    assert out[0]["page_keep"] is True and out[0]["n_kept"] == 5
+    # the three line rules each drop exactly their planted line
+    for doc in (1, 2, 3):
+        assert out[doc]["n_kept"] == 5 and out[doc]["n_lines"] == 6
+        assert out[doc]["page_keep"] is True
+        assert out[doc]["clean_md5"] == out[0]["clean_md5"]
+    # the page rules drop pages that have plenty of surviving lines
+    assert out[4]["n_kept"] == 6 and out[4]["page_keep"] is False
+    assert out[5]["n_kept"] == 6 and out[5]["page_keep"] is False
+    assert out[6]["n_kept"] == 1 and out[6]["page_keep"] is False
+    # no Python in the plan: one codegen projection
+    plan = (
+        corpus.c4_line_filter(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Exchange" not in plan
