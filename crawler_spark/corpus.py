@@ -1108,3 +1108,44 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
             F.encode(F.expr(f"concat_ws('\\n', {kept})"), "UTF-8")
         ).alias("clean_md5"),
     )
+
+
+def unigram_nll(docs: DataFrame, nll_threshold: float = 8.0) -> DataFrame:
+    """CCNet-style perplexity quality signal from a corpus unigram LM
+    (public method, Wenzek et al. 2020 — CCNet scores pages with a
+    language-model perplexity and keeps the low-perplexity head; here
+    the LM is the corpus's own unigram distribution so the operator is
+    self-contained and exactly reproducible in any engine).
+
+    Per document: ``mean_nll`` = mean over tokens of ``-ln(c_t / T)``
+    where ``c_t`` is the token's corpus count and ``T`` the corpus
+    token total; ``keep`` = mean_nll <= ``nll_threshold`` (CCNet's
+    head/tail cut re-expressed as a fixed threshold so the verdict
+    needs no cross-engine percentile).  ``mean_nll`` is rounded to 4
+    places before thresholding; ln is IEEE-double on both engines and
+    the 4-place round absorbs summation-order jitter.
+
+    Scale: two shuffles, both on token keys (Zipf-distributed but
+    bounded by partial aggregation: the count shuffle carries
+    per-partition partials, the score join hash-partitions both sides
+    on the token); the corpus total is a 1-row broadcast; no driver
+    loop, no Python.  At 100 TB the vocabulary table is the only
+    intermediate and it is orders of magnitude smaller than the corpus.
+
+    Output: (doc_id, n_tokens, mean_nll, keep:boolean).
+    """
+    t = with_tokens(docs).select("doc_id", F.explode("tokens").alias("tok"))
+    vocab = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("T"))
+    scores = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (-F.log(F.col("c") / F.col("T"))).alias("nll")
+    )
+    return (
+        t.join(scores, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("nll"), 4).alias("mean_nll"),
+        )
+        .withColumn("keep", F.col("mean_nll") <= nll_threshold)
+    )

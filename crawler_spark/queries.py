@@ -783,6 +783,27 @@ FROM k
 """
 
 
+def q_unigram_nll(spark, sf_dir):
+    """CCNet-style unigram-LM perplexity signal (corpus.unigram_nll):
+    per-doc mean token negative log-likelihood under the corpus's own
+    unigram distribution, keep threshold 3.41 nats (the fixture corpus
+    median, so both verdict branches carry weight)."""
+    return corpus.unigram_nll(_t(spark, sf_dir, "documents"), nll_threshold=3.41)
+
+
+ORACLE_UNIGRAM_NLL = f"""
+WITH d AS (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents),
+t AS (SELECT doc_id, unnest(tokens) AS tok FROM d),
+v AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+tot AS (SELECT sum(c) AS T FROM v),
+s AS (SELECT doc_id, -ln(c / T) AS nll FROM t JOIN v USING (tok), tot)
+SELECT doc_id, cast(count(*) as bigint) AS n_tokens,
+  round(avg(nll), 4) AS mean_nll,
+  round(avg(nll), 4) <= 3.41 AS keep
+FROM s GROUP BY doc_id
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher repetition signals over word bigrams
     (corpus.ngram_repetition, n=2)."""
@@ -2068,6 +2089,7 @@ QUERIES = {
     "text_pii_scrub": q_pii_scrub,
     "text_quality_gopher": q_gopher_quality,
     "text_c4_filter": q_c4_filter,
+    "text_unigram_nll": q_unigram_nll,
     "url_frontier_filter": q_url_frontier_filter,
     "doc_statistics": q_doc_statistics,
     "doc_keys": q_doc_keys,
@@ -2153,6 +2175,7 @@ ORACLES = {
     "text_pii_scrub": ORACLE_PII_SCRUB,
     "text_quality_gopher": ORACLE_GOPHER,
     "text_c4_filter": ORACLE_C4,
+    "text_unigram_nll": ORACLE_UNIGRAM_NLL,
     "text_repetition": ORACLE_REPETITION,
     "dedup_span": ORACLE_SPAN_DEDUP,
     "url_frontier_filter": ORACLE_URL_FILTER,

@@ -338,3 +338,19 @@ def test_c4_line_filter_rules(spark):
         corpus.c4_line_filter(d)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_unigram_nll_hand_corpus(spark):
+    """Tiny corpus with hand-computable unigram NLLs: counts a=2, b=2,
+    c=1, T=5, so nll(a)=nll(b)=-ln(0.4), nll(c)=-ln(0.2)."""
+    d = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in corpus.unigram_nll(d, 1.0).collect()}
+    assert out[0]["n_tokens"] == 3 and out[0]["mean_nll"] == 0.9163
+    assert out[1]["n_tokens"] == 2 and out[1]["mean_nll"] == 1.2629
+    assert out[0]["keep"] is True and out[1]["keep"] is False
+    plan = (
+        corpus.unigram_nll(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
