@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "text_tokens",
     "text_pii_scrub",
     "text_quality_gopher",
+    "text_c4_filter",
+    "text_unigram_nll",
     "text_repetition",
     "dedup_span",
     "url_frontier_filter",
