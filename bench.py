@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "text_quality_gopher",
     "text_c4_filter",
     "text_unigram_nll",
+    "text_dsir_weight",
+    "hostgraph_pagerank",
     "text_repetition",
     "dedup_span",
     "url_frontier_filter",

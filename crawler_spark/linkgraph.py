@@ -1,0 +1,125 @@
+"""Host-level link-graph analytics for frontier prioritization.
+
+The reference crawler's notion of source priority is the human operator
+choosing which DPA to crawl (``gdprCrawler.py:123-145`` — one
+country/DPA per invocation, hard-coded dispatch); a web-scale frontier
+has ~10^8 hosts and must derive per-source priority from the link graph
+itself.  This module provides the canonical primitive — PageRank over
+the host graph — in a deliberately *deterministic fixed-point integer*
+formulation:
+
+- every rank is a 64-bit integer in parts-per-billion (ppb);
+- per-edge contributions use integer division ``rank div out_degree``;
+- integer addition is associative/commutative *exactly*, so the same
+  ranks come out at 1 executor or 1000, at any shuffle partitioning,
+  and on any engine — which is what makes the DuckDB oracle value-hash
+  byte-exact, and at fleet scale makes reruns/audits reproducible
+  (IEEE-double PageRank wobbles in the last ulp with summation order).
+
+Scale shape (100 TB / 10^8 hosts): the edges table is the big side and
+is NEVER shuffled — each iteration joins edges to the (hosts-sized)
+rank table and aggregates contributions by dst with map-side partial
+aggregation, so the only full shuffle per iteration carries one partial
+row per (partition, dst-host).  The rank table is broadcast when it
+fits (the default here; 10^6 hosts * 24 B is trivially broadcastable);
+above ``spark.sql.autoBroadcastJoinThreshold`` Spark falls back to a
+shuffled hash join on src — still edges-shuffle-free if edges are
+bucketed by src (see BENCH/bucketed_join_demo.py for the pattern).
+Dangling mass is a 1-row aggregate collected per iteration (a bounded
+driver probe, same convention as the engine's round metrics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPB = 1_000_000_000
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_ppb: int = 850_000_000,
+) -> DataFrame:
+    """Fixed-point integer PageRank over ``edges(src, dst)``.
+
+    Per iteration (all 64-bit integer arithmetic, ppb scale)::
+
+        contrib(e)  = rank(src) div out_deg(src)          # per edge
+        S(v)        = sum of contrib over in-edges of v
+        D           = sum of rank over dangling nodes (out_deg = 0)
+        rank'(v)    = (PPB - d) div N  +  (d * (S(v) + D div N)) div PPB
+
+    which is the standard damped PageRank with redistributed dangling
+    mass, truncated (floor) at each division.  Overflow-safe: total
+    rank mass <= PPB + N (one ulp of truncation per node), so
+    ``d * (S + D div N) < 8.5e8 * ~1e9 << 2^63``.
+
+    Returns (node: string, out_deg: bigint, rank_ppb: bigint).  The
+    returned frame is persisted (it pins the last iteration); callers
+    own the cache lifetime.
+    """
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    nd = (
+        nodes.join(deg, "node", "left")
+        .select("node", F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"))
+        .persist()
+    )
+    n_nodes = nd.count()  # bounded driver probe; also materializes the persist
+    base = (PPB - damping_ppb) // n_nodes
+
+    ranks = nd.withColumn("rank_ppb", F.lit(PPB // n_nodes).cast("long"))
+    prev = None
+    for _ in range(iters):
+        ranks = ranks.persist()
+        dangling = ranks.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank_ppb"), F.lit(0)).alias("d")
+        )
+        d_mass = dangling.collect()[0]["d"] or 0
+        contribs = (
+            e.join(
+                F.broadcast(
+                    ranks.filter(F.col("out_deg") > 0).select(
+                        F.col("node").alias("src"),
+                        F.expr("rank_ppb div out_deg").alias("contrib"),
+                    )
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("s"))
+        )
+        new_ranks = (
+            nd.join(contribs, "node", "left")
+            .select(
+                "node",
+                "out_deg",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_ppb} * (coalesce(s, 0) + {d_mass // n_nodes}))"
+                        f" div {PPB}"
+                    )
+                ).cast("long").alias("rank_ppb"),
+            )
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+        ranks = new_ranks
+    # pin the result before releasing the lineage inputs it references
+    out = ranks.persist()
+    out.count()
+    if prev is not None:
+        prev.unpersist()
+    nd.unpersist()
+    return out

@@ -31,7 +31,7 @@ from datetime import date
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import corpus, metadata, multimodal, similarity, streaming
+from . import corpus, linkgraph, metadata, multimodal, similarity, streaming
 from . import urls as urls_mod
 
 # -- DuckDB-side twins of the Spark expression fragments --------------------
@@ -2071,6 +2071,115 @@ def q_crawl_mini(spark, sf_dir):
     )
 
 
+def q_dsir_weight(spark, sf_dir):
+    """DSIR importance-resampling weights (corpus.dsir_weight): hashed
+    unigram log-likelihood ratio of an English target model over the
+    raw corpus, B=1024 buckets, keep at logratio >= 0 (the en/non-en
+    fixture split puts both verdict branches in play)."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.dsir_weight(
+        docs, docs.filter(F.col("lang") == "en"),
+        n_buckets=1024, keep_threshold=0.0,
+    )
+
+
+ORACLE_DSIR = f"""
+WITH d AS (SELECT doc_id, lang, {DUCK_TOKENS} AS tokens FROM documents),
+t AS (SELECT doc_id, lang, unnest(tokens) AS tok FROM d),
+tb AS (SELECT doc_id, lang, {duck_h64('tok')} % 1024 AS b FROM t),
+cr AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+ct AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(cr), 0) FROM cr) AS tr,
+               (SELECT coalesce(sum(ct), 0) FROM ct) AS tt),
+dim AS (SELECT b,
+          ln((coalesce(ct, 0) + 1) / (tt + 1024))
+          - ln((coalesce(cr, 0) + 1) / (tr + 1024)) AS lr
+        FROM cr FULL OUTER JOIN ct USING (b), tot)
+SELECT doc_id, cast(count(*) as bigint) AS n_tokens,
+  round(sum(lr), 4) AS logratio,
+  round(sum(lr), 4) >= 0.0 AS keep
+FROM tb JOIN dim USING (b) GROUP BY doc_id
+"""
+
+
+# Host-graph edges synthesized deterministically from orders keys: 37
+# ordinary hosts, one hub that only receives links (k%5), three pure
+# sinks (k%11) — so the dangling-mass path and the skewed-in-degree
+# path both carry weight.  The SQL twin below must stay in lockstep.
+def _pagerank_edges(spark, sf_dir):
+    k = F.col("o_orderkey")
+    c = F.col("o_custkey")
+    src = F.concat(F.lit("h"), (k % 37).cast("string"))
+    dst = (
+        F.when(k % 5 == 0, F.lit("hub"))
+        .when(k % 11 == 0, F.concat(F.lit("sink"), (k % 3).cast("string")))
+        .otherwise(F.concat(F.lit("h"), ((k * 7 + c) % 37).cast("string")))
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_hostgraph_pagerank(spark, sf_dir):
+    """Frontier source-priority from the link graph
+    (linkgraph.pagerank_fixedpoint, 5 iterations): deterministic
+    fixed-point integer PageRank, value-hash-exact on any engine or
+    cluster size because every rank is a 64-bit ppb integer."""
+    return linkgraph.pagerank_fixedpoint(
+        _pagerank_edges(spark, sf_dir), iters=5
+    )
+
+
+def _oracle_pagerank(iters: int = 5, damping_ppb: int = 850_000_000) -> str:
+    ppb = 1_000_000_000
+    cte = [
+        """e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'h' || cast(o_orderkey % 37 as varchar) AS src,
+      CASE WHEN o_orderkey % 5 = 0 THEN 'hub'
+           WHEN o_orderkey % 11 = 0 THEN 'sink' || cast(o_orderkey % 3 as varchar)
+           ELSE 'h' || cast((o_orderkey * 7 + o_custkey) % 37 as varchar)
+      END AS dst
+    FROM orders) WHERE src <> dst)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src AS node, count(*) AS od FROM e GROUP BY 1)",
+        "nd AS (SELECT node, cast(coalesce(od, 0) as bigint) AS out_deg"
+        " FROM nodes LEFT JOIN deg USING (node))",
+        "nn AS (SELECT count(*) AS n FROM nd)",
+        f"r0 AS (SELECT node, out_deg, cast({ppb} // n as bigint) AS r"
+        " FROM nd, nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        cte.append(
+            f"d{i} AS (SELECT coalesce(sum(CASE WHEN out_deg = 0 THEN r END), 0)"
+            f" AS dm FROM {p})"
+        )
+        cte.append(
+            f"s{i} AS (SELECT e.dst AS node, sum(p.r // p.out_deg) AS s"
+            f" FROM e JOIN {p} p ON e.src = p.node WHERE p.out_deg > 0"
+            " GROUP BY 1)"
+        )
+        cte.append(
+            f"r{i} AS (SELECT nd.node, nd.out_deg,"
+            f" cast(({ppb} - {damping_ppb}) // n"
+            f" + ({damping_ppb} * (coalesce(s.s, 0) + dm // n)) // {ppb}"
+            f" as bigint) AS r"
+            f" FROM nd CROSS JOIN nn CROSS JOIN d{i}"
+            f" LEFT JOIN s{i} s ON nd.node = s.node)"
+        )
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT node, out_deg, r AS rank_ppb FROM r{iters}"
+    )
+
+
+ORACLE_PAGERANK = _oracle_pagerank(5)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2090,6 +2199,7 @@ QUERIES = {
     "text_quality_gopher": q_gopher_quality,
     "text_c4_filter": q_c4_filter,
     "text_unigram_nll": q_unigram_nll,
+    "text_dsir_weight": q_dsir_weight,
     "url_frontier_filter": q_url_frontier_filter,
     "doc_statistics": q_doc_statistics,
     "doc_keys": q_doc_keys,
@@ -2129,6 +2239,7 @@ QUERIES = {
     "windowed_agg": q_windowed_agg,
     "sessionize": q_sessionize,
     "skew_salted_agg": q_skew_salted_agg,
+    "hostgraph_pagerank": q_hostgraph_pagerank,
     # -- heavier shuffles / n-gram explodes / simulations --------------------
     "text_repetition": q_text_repetition,
     "dedup_span": q_span_dedup,
@@ -2176,6 +2287,8 @@ ORACLES = {
     "text_quality_gopher": ORACLE_GOPHER,
     "text_c4_filter": ORACLE_C4,
     "text_unigram_nll": ORACLE_UNIGRAM_NLL,
+    "text_dsir_weight": ORACLE_DSIR,
+    "hostgraph_pagerank": ORACLE_PAGERANK,
     "text_repetition": ORACLE_REPETITION,
     "dedup_span": ORACLE_SPAN_DEDUP,
     "url_frontier_filter": ORACLE_URL_FILTER,

@@ -354,3 +354,37 @@ def test_unigram_nll_hand_corpus(spark):
         corpus.unigram_nll(d)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan
+
+
+def test_dsir_weight_hand_corpus(spark):
+    """Tiny corpus with hand-computable DSIR log-ratios, B=16 buckets.
+
+    Tokens 'a' (bucket 10) and 'b' (bucket 14) don't collide.  Raw =
+    both docs (counts a=2, b=1, Tr=3); target = doc 0 only (a=2, Tt=2).
+    lr(a) = ln(3/18) - ln(3/19) = ln(19/18) > 0
+    lr(b) = ln(1/18) - ln(2/19) < 0
+    so doc 0 (two 'a' tokens) keeps and doc 1 ('b') drops.
+    """
+    import math
+
+    d = spark.createDataFrame(
+        [(0, "a a"), (1, "b")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.dsir_weight(
+            d, d.filter("doc_id = 0"), n_buckets=16, keep_threshold=0.0
+        ).collect()
+    }
+    lr_a = math.log(3 / 18) - math.log(3 / 19)
+    lr_b = math.log(1 / 18) - math.log(2 / 19)
+    assert out[0]["n_tokens"] == 2 and out[0]["logratio"] == round(2 * lr_a, 4)
+    assert out[1]["n_tokens"] == 1 and out[1]["logratio"] == round(lr_b, 4)
+    assert out[0]["keep"] is True and out[1]["keep"] is False
+    plan = (
+        corpus.dsir_weight(d, d.filter("doc_id = 0"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan

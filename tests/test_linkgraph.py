@@ -1,0 +1,69 @@
+"""Fixed-point PageRank (linkgraph.pagerank_fixedpoint): hand-computed
+one-iteration ranks on a 3-node graph with a dangling node, exact
+determinism across reruns and partitionings, and cache hygiene."""
+
+from __future__ import annotations
+
+from crawler_spark import linkgraph
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_pagerank_one_iteration_hand_values(spark):
+    """A->B, A->C, B->A; C dangles.  N=3, r0 = 333_333_333 each.
+
+    D = 333_333_333 (C), D div N = 111_111_111; contribs: A sends
+    166_666_666 to each of B,C; B sends 333_333_333 to A.
+    r1(A) = 50e6 + (85e7 * 444_444_444) div 1e9 = 427_777_777
+    r1(B) = r1(C) = 50e6 + (85e7 * 277_777_777) div 1e9 = 286_111_110
+    """
+    e = _edges(spark, [("A", "B"), ("A", "C"), ("B", "A")])
+    out = linkgraph.pagerank_fixedpoint(e, iters=1)
+    got = {r["node"]: (r["out_deg"], r["rank_ppb"]) for r in out.collect()}
+    out.unpersist()
+    assert got == {
+        "A": (2, 427_777_777),
+        "B": (1, 286_111_110),
+        "C": (0, 286_111_110),
+    }
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    """Integer arithmetic makes ranks EXACTLY partitioning-invariant —
+    the property that lets the same job produce the same bytes at N and
+    4N executors (floats would differ in summation order)."""
+    rows = [
+        (f"h{i % 7}", f"h{(i * 3 + 1) % 7}") for i in range(40)
+    ] + [("h0", "leaf"), ("h3", "leaf")]
+    rows = [r for r in rows if r[0] != r[1]]
+    a = linkgraph.pagerank_fixedpoint(
+        _edges(spark, rows).repartition(1), iters=4
+    )
+    b = linkgraph.pagerank_fixedpoint(
+        _edges(spark, rows).repartition(8), iters=4
+    )
+    ra = sorted((r["node"], r["rank_ppb"]) for r in a.collect())
+    rb = sorted((r["node"], r["rank_ppb"]) for r in b.collect())
+    a.unpersist()
+    b.unpersist()
+    assert ra == rb
+    # total mass stays ~PPB (truncation loses < 1 ppb per node per iter)
+    total = sum(v for _, v in ra)
+    assert abs(total - linkgraph.PPB) < 10 * len(ra)
+
+
+def test_pagerank_releases_intermediate_caches(spark):
+    """Only the returned frame stays pinned (documented caller-owned
+    lifetime); the per-iteration intermediates are unpersisted."""
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out = linkgraph.pagerank_fixedpoint(
+        _edges(spark, [("A", "B"), ("B", "A")]), iters=2
+    )
+    out.collect()
+    during = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out.unpersist()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert during <= before + 1
+    assert after <= before
