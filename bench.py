@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "text_unigram_nll",
     "text_dsir_weight",
     "hostgraph_pagerank",
+    "sketch_hll_distinct",
     "text_repetition",
     "dedup_span",
     "url_frontier_filter",

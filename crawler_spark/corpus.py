@@ -1241,3 +1241,99 @@ def dsir_weight(
         )
         .withColumn("keep", F.col("logratio") >= keep_threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketches
+# ---------------------------------------------------------------------------
+
+
+def hll_distinct(docs: DataFrame, group_col: str = "source", p: int = 9) -> DataFrame:
+    """Deterministic HyperLogLog distinct-token estimate per group
+    (public algorithm: Flajolet et al. 2007; the small-range linear
+    counting correction per Heule et al. 2013's practice).
+
+    At 100 TB, exact ``count(distinct token)`` per group shuffles every
+    token string; the sketch shuffles at most ``m = 2**p`` small integer
+    registers per group per map partition — and because registers are
+    MAXes, duplicate tokens never change a register, so no pre-dedup
+    shuffle is needed either.  This formulation is *bit-deterministic*
+    across engines, partitionings and cluster sizes:
+
+    - the 60-bit md5-derived ``h64`` splits into a ``p``-bit register
+      index and a ``q = 60 - p``-bit sub-stream; rho = leading zeros
+      + 1 computed by integer ``length(bin(w))`` (no floats);
+    - the harmonic sum stays an INTEGER: ``sum_j 2**-M_j = S / 2**(q+1)``
+      with ``S = sum_j 2**(q+1 - M_j)`` (max ``m * 2**(q+1) << 2**63``),
+      absent registers contributing ``2**(q+1)`` each — integer sums
+      commute exactly, unlike a float harmonic mean;
+    - the only float math is one multiply + one divide from
+      pre-evaluated double literals (and one ``ln`` in the small-range
+      branch), identical expression trees on Spark and DuckDB, with the
+      result rounded to 4 places.
+
+    Output: (group_col, n_exact: bigint, n_est: double, rel_err:
+    double).  ``n_exact`` is the exact distinct count (the expensive
+    comparison column that the sketch replaces at scale).
+    """
+    m = 1 << p
+    q = 60 - p
+    two_q = 1 << q
+    alpha = 0.7213 / (1 + 1.079 / m)
+    # alpha * m^2 * 2^(q+1): m^2 * 2^(q+1) is a power of two, exact in
+    # a double; pre-evaluate so both engines parse one literal each
+    amm = repr(alpha * float(m * m * (1 << (q + 1))))
+    lc_cut = repr(2.5 * m)
+    t = with_tokens(docs).select(group_col, F.explode("tokens").alias("tok"))
+    hw = t.select(
+        group_col,
+        F.expr(f"{h64('tok')} div {two_q}").alias("b"),
+        F.expr(f"{h64('tok')} % {two_q}").alias("w"),
+    )
+    regs = (
+        hw.select(
+            group_col,
+            "b",
+            F.expr(
+                f"CASE WHEN w = 0 THEN {q + 1}"
+                f" ELSE {q + 1} - length(bin(w)) END"
+            ).alias("rho"),
+        )
+        .groupBy(group_col, "b")
+        .agg(F.max("rho").alias("M"))
+    )
+    per_group = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {q + 1} - M)")).alias("sp"),
+    )
+    exact = t.groupBy(group_col).agg(
+        F.countDistinct("tok").cast("long").alias("n_exact")
+    )
+    est = (
+        per_group.join(F.broadcast(exact), group_col)
+        .select(
+            group_col,
+            "n_exact",
+            F.expr(
+                f"sp + ({m} - present) * shiftleft(cast(1 as bigint), {q + 1})"
+            ).alias("s"),
+            (F.lit(m) - F.col("present")).alias("v"),
+        )
+        .select(
+            group_col,
+            "n_exact",
+            F.expr(
+                f"CASE WHEN v > 0 AND {amm} / s <= {lc_cut}"
+                f" THEN round({m} * ln({m} / cast(v as double)), 4)"
+                f" ELSE round({amm} / s, 4) END"
+            ).alias("n_est"),
+        )
+    )
+    return est.select(
+        group_col,
+        "n_exact",
+        "n_est",
+        F.round(F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )

@@ -2180,6 +2180,54 @@ def _oracle_pagerank(iters: int = 5, damping_ppb: int = 850_000_000) -> str:
 ORACLE_PAGERANK = _oracle_pagerank(5)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-token estimate per source
+    (corpus.hll_distinct, p=9 -> 512 integer registers): the sketch a
+    100 TB pipeline uses instead of count(distinct token); n_exact is
+    the expensive comparison column it replaces."""
+    return corpus.hll_distinct(
+        _t(spark, sf_dir, "documents"), group_col="source", p=9
+    )
+
+
+def _oracle_hll(p: int = 9) -> str:
+    m = 1 << p
+    q = 60 - p
+    two_q = 1 << q
+    alpha = 0.7213 / (1 + 1.079 / m)
+    amm = repr(alpha * float(m * m * (1 << (q + 1))))
+    lc_cut = repr(2.5 * m)
+    return f"""
+WITH d AS (SELECT source, {DUCK_TOKENS} AS tokens FROM documents),
+t AS (SELECT source, unnest(tokens) AS tok FROM d),
+hw AS (SELECT source, {duck_h64('tok')} // {two_q} AS b,
+              {duck_h64('tok')} % {two_q} AS w FROM t),
+r AS (SELECT source, b,
+        max(CASE WHEN w = 0 THEN {q + 1}
+                 ELSE {q + 1} - length(bin(w)) END) AS M
+      FROM hw GROUP BY 1, 2),
+g AS (SELECT source, count(*) AS present,
+        sum(1::BIGINT << ({q + 1} - M)) AS sp FROM r GROUP BY 1),
+x AS (SELECT source, cast(count(DISTINCT tok) as bigint) AS n_exact
+      FROM t GROUP BY 1),
+e AS (SELECT source, n_exact,
+        sp + ({m} - present) * (1::BIGINT << {q + 1}) AS s,
+        {m} - present AS v
+      FROM g JOIN x USING (source)),
+f AS (SELECT source, n_exact,
+        CASE WHEN v > 0 AND {amm} / s <= {lc_cut}
+             THEN round({m} * ln({m} / cast(v as double)), 4)
+             ELSE round({amm} / s, 4) END AS n_est
+      FROM e)
+SELECT source, n_exact, n_est,
+  round(abs(n_est - n_exact) / n_exact, 4) AS rel_err
+FROM f
+"""
+
+
+ORACLE_HLL = _oracle_hll(9)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2200,6 +2248,7 @@ QUERIES = {
     "text_c4_filter": q_c4_filter,
     "text_unigram_nll": q_unigram_nll,
     "text_dsir_weight": q_dsir_weight,
+    "sketch_hll_distinct": q_hll_distinct,
     "url_frontier_filter": q_url_frontier_filter,
     "doc_statistics": q_doc_statistics,
     "doc_keys": q_doc_keys,
@@ -2289,6 +2338,7 @@ ORACLES = {
     "text_unigram_nll": ORACLE_UNIGRAM_NLL,
     "text_dsir_weight": ORACLE_DSIR,
     "hostgraph_pagerank": ORACLE_PAGERANK,
+    "sketch_hll_distinct": ORACLE_HLL,
     "text_repetition": ORACLE_REPETITION,
     "dedup_span": ORACLE_SPAN_DEDUP,
     "url_frontier_filter": ORACLE_URL_FILTER,

@@ -388,3 +388,31 @@ def test_dsir_weight_hand_corpus(spark):
         .toString()
     )
     assert "Python" not in plan
+
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    """HLL sketch: ~4.6% stderr at p=9, so rel_err < 0.15 is a loose
+    3-sigma bound; estimates are bit-identical across partitionings
+    (integer registers + integer harmonic sum commute exactly)."""
+    rows = [(f"g{gi}", f"doc with tok{gi}_{i % n} filler") for gi, n in
+            [(0, 700), (1, 60)] for i in range(max(700, n))]
+    d = spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in corpus.hll_distinct(d).collect()}
+    # distinct tokens: per-group uniques + 'doc'/'with'/'filler' shared
+    assert out["g0"]["n_exact"] == 703 and out["g1"]["n_exact"] == 63
+    for g in ("g0", "g1"):
+        assert out[g]["rel_err"] < 0.15, (g, out[g])
+    re1 = sorted(
+        (r["source"], r["n_est"])
+        for r in corpus.hll_distinct(d.repartition(1)).collect()
+    )
+    re8 = sorted(
+        (r["source"], r["n_est"])
+        for r in corpus.hll_distinct(d.repartition(8)).collect()
+    )
+    assert re1 == re8
+    plan = corpus.hll_distinct(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
