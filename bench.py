@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "text_dsir_weight",
     "hostgraph_pagerank",
     "sketch_hll_distinct",
+    "sketch_countmin_topk",
     "text_repetition",
     "dedup_span",
     "url_frontier_filter",

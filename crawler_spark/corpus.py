@@ -1337,3 +1337,53 @@ def hll_distinct(docs: DataFrame, group_col: str = "source", p: int = 9) -> Data
             "rel_err"
         ),
     )
+
+
+def countmin_topk(
+    docs: DataFrame, d: int = 4, w: int = 1024, k: int = 20
+) -> DataFrame:
+    """Deterministic count-min heavy hitters (public sketch: Cormode &
+    Muthukrishnan 2005): estimate every token's frequency from a
+    ``d x w`` integer counter table, report the top-``k``.
+
+    Like :func:`hll_distinct`, the formulation is bit-deterministic on
+    any engine or partitioning — counters are integer sums over
+    md5-salted buckets (``h_i(tok) = h64('cm<i>|' + tok) mod w``), the
+    estimate is an integer ``min`` over the d counters, and the top-k
+    order carries the token as a unique tie-break.  The one-sided CMS
+    guarantee survives intact: ``n_est >= n_exact`` always (asserted in
+    tests; ``overcount`` makes it visible per row).
+
+    Scale: the counter table is exactly ``d * w`` rows built with
+    map-side partial aggregation (bounded keys, never token-skewed) and
+    broadcast back to the per-token stream, so the only token-keyed
+    shuffle is the exact-count groupBy — which a production run at
+    100 TB DROPS, keeping just the sketch (``n_exact`` here is the
+    comparison column, same pattern as hll_distinct).
+
+    Output: top-k (tok, n_exact, n_est, overcount) by (n_est desc, tok).
+    """
+    t = with_tokens(docs).select(F.explode("tokens").alias("tok"))
+    salted = ["concat('cm%d|', tok)" % i for i in range(d)]
+    pairs = [
+        f"struct({i} as r, pmod({h64(salted[i])}, {w}) as b)"
+        for i in range(d)
+    ]
+    cms = (
+        t.select(F.expr(f"explode(array({', '.join(pairs)}))").alias("p"))
+        .select(F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    toks = t.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    probes = toks.select(
+        "tok", "n_exact", F.expr(f"explode(array({', '.join(pairs)}))").alias("p")
+    ).select("tok", "n_exact", F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+    return (
+        probes.join(F.broadcast(cms), ["r", "b"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("cnt").cast("long").alias("n_est"))
+        .withColumn("overcount", (F.col("n_est") - F.col("n_exact")).cast("long"))
+        .orderBy(F.desc("n_est"), "tok")
+        .limit(k)
+    )

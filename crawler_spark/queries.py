@@ -2228,6 +2228,40 @@ FROM f
 ORACLE_HLL = _oracle_hll(9)
 
 
+def q_countmin_topk(spark, sf_dir):
+    """Count-min heavy hitters (corpus.countmin_topk, d=4 x w=1024):
+    integer counters, integer min — bit-deterministic; top-20 tokens
+    with the exact count alongside and the one-sided overcount."""
+    return corpus.countmin_topk(
+        _t(spark, sf_dir, "documents"), d=4, w=1024, k=20
+    )
+
+
+def _oracle_countmin(d: int = 4, w: int = 1024, k: int = 20) -> str:
+    probes = ",\n    ".join(
+        f"({i}, {duck_h64(chr(39) + f'cm{i}|' + chr(39) + ' || tok')} % {w})"
+        for i in range(d)
+    )
+    return f"""
+WITH docs_t AS (SELECT {DUCK_TOKENS} AS tokens FROM documents),
+t AS (SELECT unnest(tokens) AS tok FROM docs_t),
+pr AS (SELECT tok, p.* FROM t, LATERAL (VALUES
+    {probes}) AS p(r, b)),
+cms AS (SELECT r, b, count(*) AS cnt FROM pr GROUP BY 1, 2),
+toks AS (SELECT tok, cast(count(*) as bigint) AS n_exact FROM t GROUP BY 1),
+probes AS (SELECT DISTINCT tok, r, b FROM pr),
+est AS (SELECT p.tok, min(cms.cnt) AS n_est
+        FROM probes p JOIN cms USING (r, b) GROUP BY 1)
+SELECT t.tok AS tok, t.n_exact, cast(e.n_est as bigint) AS n_est,
+  cast(e.n_est - t.n_exact as bigint) AS overcount
+FROM toks t JOIN est e ON t.tok = e.tok
+ORDER BY n_est DESC, t.tok LIMIT {k}
+"""
+
+
+ORACLE_COUNTMIN = _oracle_countmin(4, 1024, 20)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2249,6 +2283,7 @@ QUERIES = {
     "text_unigram_nll": q_unigram_nll,
     "text_dsir_weight": q_dsir_weight,
     "sketch_hll_distinct": q_hll_distinct,
+    "sketch_countmin_topk": q_countmin_topk,
     "url_frontier_filter": q_url_frontier_filter,
     "doc_statistics": q_doc_statistics,
     "doc_keys": q_doc_keys,
@@ -2339,6 +2374,7 @@ ORACLES = {
     "text_dsir_weight": ORACLE_DSIR,
     "hostgraph_pagerank": ORACLE_PAGERANK,
     "sketch_hll_distinct": ORACLE_HLL,
+    "sketch_countmin_topk": ORACLE_COUNTMIN,
     "text_repetition": ORACLE_REPETITION,
     "dedup_span": ORACLE_SPAN_DEDUP,
     "url_frontier_filter": ORACLE_URL_FILTER,

@@ -416,3 +416,18 @@ def test_hll_distinct_accuracy_and_determinism(spark):
     assert re1 == re8
     plan = corpus.hll_distinct(d)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_countmin_one_sided_and_deterministic(spark):
+    """CMS guarantee: n_est >= n_exact for every token; estimates are
+    partitioning-invariant (integer counters + integer min)."""
+    rows = [(i, "common " * 5 + f"rare{i}") for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    top = corpus.countmin_topk(d, k=10).collect()
+    assert top[0]["tok"] == "common" and top[0]["n_exact"] == 1000
+    assert all(r["overcount"] >= 0 for r in top)
+    a = [(r["tok"], r["n_est"]) for r in corpus.countmin_topk(d.repartition(1), k=10).collect()]
+    b = [(r["tok"], r["n_est"]) for r in corpus.countmin_topk(d.repartition(8), k=10).collect()]
+    assert a == b
+    plan = corpus.countmin_topk(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
