@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "hostgraph_pagerank",
     "sketch_hll_distinct",
     "sketch_countmin_topk",
+    "sitemap_extract",
     "text_repetition",
     "dedup_span",
     "url_frontier_filter",

@@ -2262,6 +2262,95 @@ ORDER BY n_est DESC, t.tok LIMIT {k}
 ORACLE_COUNTMIN = _oracle_countmin(4, 1024, 20)
 
 
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap XML ingestion (urls.sitemap_expand): synthesized
+    sitemaps with 3 url entries each — lastmod optional on a (k+i)%3
+    cycle so loc/lastmod pairing is actually exercised — plus a
+    sitemapindex child every 13th host page; keep = fresh-or-unknown
+    lastmod (a crawler must fetch unknown-freshness URLs)."""
+    k = F.col("o_orderkey")
+    host = F.concat(F.lit("h"), (k % 50).cast("string"), F.lit(".example.com"))
+
+    def ent(i: int):
+        lm = (
+            F.when(
+                ((k + i) % 3) != 0,
+                F.concat(
+                    F.lit("<lastmod>2024-0"),
+                    (((k + i) % 9) + 1).cast("string"),
+                    F.lit(f"-1{i}</lastmod>"),
+                ),
+            ).otherwise(F.lit(""))
+        )
+        return F.concat(
+            F.lit("<url><loc>https://"), host, F.lit("/p"),
+            k.cast("string"), F.lit(f"-{i}.html</loc>"), lm, F.lit("</url>"),
+        )
+
+    child = (
+        F.when(
+            k % 13 == 0,
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>https://"), host,
+                F.lit("/sitemap-"), k.cast("string"),
+                F.lit(".xml</loc></sitemap></sitemapindex>"),
+            ),
+        ).otherwise(F.lit(""))
+    )
+    xml = F.concat(
+        F.lit("<urlset>"), ent(0), ent(1), ent(2), F.lit("</urlset>"), child
+    )
+    pages = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("https://"), host, F.lit("/sitemap.xml")).alias(
+            "page_url"
+        ),
+        xml.alias("xml"),
+    )
+    return urls_mod.sitemap_expand(pages).withColumn(
+        "keep", (F.col("lastmod") == "") | (F.col("lastmod") >= "2024-04-01")
+    )
+
+
+def _oracle_sitemap() -> str:
+    ents = []
+    for i in range(3):
+        ents.append(
+            f"'<url><loc>https://' || host || '/p' || ks || '-{i}.html</loc>'"
+            f" || CASE WHEN (k + {i}) % 3 <> 0"
+            f" THEN '<lastmod>2024-0' || cast((k + {i}) % 9 + 1 as varchar)"
+            f" || '-1{i}</lastmod>' ELSE '' END || '</url>'"
+        )
+    xml = "'<urlset>' || " + " || ".join(ents) + (
+        " || '</urlset>' || CASE WHEN k % 13 = 0 THEN"
+        " '<sitemapindex><sitemap><loc>https://' || host || '/sitemap-'"
+        " || ks || '.xml</loc></sitemap></sitemapindex>' ELSE '' END"
+    )
+    return f"""
+WITH o AS (SELECT o_orderkey AS k, cast(o_orderkey as varchar) AS ks,
+             'h' || cast(o_orderkey % 50 as varchar) || '.example.com' AS host
+           FROM orders),
+t AS (SELECT 'https://' || host || '/sitemap.xml' AS page_url, {xml} AS xml
+      FROM o),
+b AS (SELECT page_url,
+        unnest(regexp_extract_all(xml, '<url>([\\s\\S]*?)</url>', 1)) AS blk,
+        'url' AS kind FROM t
+      UNION ALL
+      SELECT page_url,
+        unnest(regexp_extract_all(xml, '<sitemap>([\\s\\S]*?)</sitemap>', 1)),
+        'sitemap' FROM t),
+s AS (SELECT page_url,
+        regexp_extract(blk, '<loc>([^<]+)</loc>', 1) AS loc,
+        regexp_extract(blk, '<lastmod>([^<]+)</lastmod>', 1) AS lastmod,
+        kind FROM b)
+SELECT page_url, loc, lastmod, kind,
+  (lastmod = '' OR lastmod >= '2024-04-01') AS keep
+FROM s WHERE loc <> ''
+"""
+
+
+ORACLE_SITEMAP = _oracle_sitemap()
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2284,6 +2373,7 @@ QUERIES = {
     "text_dsir_weight": q_dsir_weight,
     "sketch_hll_distinct": q_hll_distinct,
     "sketch_countmin_topk": q_countmin_topk,
+    "sitemap_extract": q_sitemap_extract,
     "url_frontier_filter": q_url_frontier_filter,
     "doc_statistics": q_doc_statistics,
     "doc_keys": q_doc_keys,
@@ -2375,6 +2465,7 @@ ORACLES = {
     "hostgraph_pagerank": ORACLE_PAGERANK,
     "sketch_hll_distinct": ORACLE_HLL,
     "sketch_countmin_topk": ORACLE_COUNTMIN,
+    "sitemap_extract": ORACLE_SITEMAP,
     "text_repetition": ORACLE_REPETITION,
     "dedup_span": ORACLE_SPAN_DEDUP,
     "url_frontier_filter": ORACLE_URL_FILTER,

@@ -154,3 +154,56 @@ def url_quality_filter(
         .withColumn("keep", F.col("reject_reason").isNull())
         .drop("__ufq_host", "__ufq_ext")
     )
+
+
+def sitemap_expand(pages, xml_col: str = "xml", url_col: str = "page_url"):
+    """Expand sitemap XML pages into frontier candidates (a source
+    format the reference never reads — its frontier comes only from
+    listing pages; a Common-Crawl-scale frontier also ingests
+    /sitemap.xml, which for large hosts is the *complete* URL
+    inventory with freshness hints).
+
+    Parses the two sitemaps.org shapes with block-scoped regexes kept
+    entirely inside WholeStageCodegen (no XML library, no Python):
+
+    - ``<urlset>`` entries: ``<url>...<loc>u</loc>[<lastmod>d</lastmod>]
+      ...</url>`` -> one candidate of kind ``'url'`` (lastmod '' when
+      the optional tag is absent);
+    - ``<sitemapindex>`` entries: ``<sitemap><loc>child</loc></sitemap>``
+      -> kind ``'sitemap'`` (the round loop re-enqueues these like
+      depth-expansion links).
+
+    The block-first parse (extract ``<url>`` blocks, then fields per
+    block) is what keeps loc/lastmod pairing correct when lastmod is
+    optional — zipping two independent ``regexp_extract_all`` lists
+    mispairs after the first URL without a lastmod.
+
+    Scale: one codegen projection + explode per page, no shuffle, no
+    UDF; downstream the candidates join the standard canonicalize ->
+    seen-anti-join -> politeness path.  Output: (url_col, loc, lastmod,
+    kind).
+    """
+    url_blocks = r"regexp_extract_all(%s, '<url>([\\s\\S]*?)</url>', 1)" % xml_col
+    sm_blocks = (
+        r"regexp_extract_all(%s, '<sitemap>([\\s\\S]*?)</sitemap>', 1)" % xml_col
+    )
+    mk = (
+        "transform({blocks}, b -> struct("
+        "regexp_extract(b, '<loc>([^<]+)</loc>', 1) as loc, "
+        "regexp_extract(b, '<lastmod>([^<]+)</lastmod>', 1) as lastmod, "
+        "'{kind}' as kind))"
+    )
+    both = (
+        f"concat({mk.format(blocks=url_blocks, kind='url')}, "
+        f"{mk.format(blocks=sm_blocks, kind='sitemap')})"
+    )
+    return (
+        pages.select(url_col, F.explode(F.expr(both)).alias("e"))
+        .select(
+            url_col,
+            F.col("e.loc").alias("loc"),
+            F.col("e.lastmod").alias("lastmod"),
+            F.col("e.kind").alias("kind"),
+        )
+        .filter(F.col("loc") != "")
+    )

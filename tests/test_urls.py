@@ -114,3 +114,38 @@ def test_url_quality_filter_rules_and_precedence(spark):
         url_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_sitemap_expand_pairs_optional_lastmod(spark):
+    """Block-scoped parse keeps loc/lastmod pairing when lastmod is
+    optional mid-list (zipping two regexp_extract_all lists would shift
+    every pair after the first bare <url>); sitemapindex children come
+    out as kind='sitemap'."""
+    from crawler_spark.urls import sitemap_expand
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.example.com/1</loc></url>"
+        "<url><loc>https://a.example.com/2</loc>"
+        "<lastmod>2024-05-10</lastmod></url>"
+        "<url><loc>https://a.example.com/3</loc></url>"
+        "</urlset>"
+        "<sitemapindex><sitemap>"
+        "<loc>https://a.example.com/sitemap-2.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    d = spark.createDataFrame(
+        [("https://a.example.com/sitemap.xml", xml)], "page_url string, xml string"
+    )
+    rows = sorted(
+        (r["loc"], r["lastmod"], r["kind"])
+        for r in sitemap_expand(d).collect()
+    )
+    assert rows == [
+        ("https://a.example.com/1", "", "url"),
+        ("https://a.example.com/2", "2024-05-10", "url"),
+        ("https://a.example.com/3", "", "url"),
+        ("https://a.example.com/sitemap-2.xml", "", "sitemap"),
+    ]
+    plan = sitemap_expand(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
