@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "sketch_hll_distinct",
     "sketch_countmin_topk",
     "sitemap_extract",
+    "robots_sql_gate",
     "text_repetition",
     "dedup_span",
     "url_frontier_filter",

@@ -464,3 +464,112 @@ def seed_frontier(seeds: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("doc_hash"),
         F.lit(None).cast("string").alias("raw_hash"),
     )
+
+
+def robots_rules_sql(robots: DataFrame) -> DataFrame:
+    """Parse raw robots.txt bodies into '*'-group prefix rules with
+    pure SQL/window expressions — the JVM scale path beside the
+    urllib.robotparser Arrow UDF (:func:`robots_allowed_udf`, the
+    reference-faithful twin per SURVEY R5).
+
+    Grammar handled (RFC 9309 subset, documented): comments stripped,
+    blank lines, User-agent groups where CONSECUTIVE user-agent lines
+    share the following rules (run-detection via lag+cumsum windows),
+    Allow/Disallow prefix patterns (no * or $ wildcards — the fixture
+    and reference corpus never use them), empty patterns ignored.
+
+    Input: (host, robots_txt).  Output: (host, pattern, is_allow,
+    plen) — only rules from groups naming agent '*'.  Window partitions
+    are per-host robots lines (bounded by the 500 KiB robots size cap
+    real crawlers enforce), so no skew at any corpus size.
+    """
+    lines = (
+        robots.select(
+            "host",
+            F.posexplode(F.split("robots_txt", r"\r?\n")).alias("pos", "raw"),
+        )
+        .select(
+            "host", "pos",
+            F.trim(F.regexp_replace("raw", "#.*", "")).alias("l"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    marked = lines.select(
+        "host", "pos", "l",
+        F.expr("l rlike '(?i)^user-agent:'").alias("is_ua"),
+        F.expr(r"regexp_extract(l, '(?i)^user-agent:\\s*(\\S+)', 1)").alias("agent"),
+        F.expr(r"regexp_extract(l, '(?i)^allow:\\s*(\\S*)', 1)").alias("allow_pat"),
+        F.expr(r"regexp_extract(l, '(?i)^disallow:\\s*(\\S*)', 1)").alias("dis_pat"),
+    ).withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("is_ua")
+                & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    star_runs = (
+        marked.filter(F.col("is_ua") & (F.col("agent") == "*"))
+        .select("host", "run_id")
+        .distinct()
+    )
+    rules = marked.filter(
+        (F.col("allow_pat") != "") | (F.col("dis_pat") != "")
+    ).select(
+        "host", "run_id",
+        F.when(F.col("allow_pat") != "", F.col("allow_pat"))
+        .otherwise(F.col("dis_pat"))
+        .alias("pattern"),
+        (F.col("allow_pat") != "").alias("is_allow"),
+    )
+    return rules.join(star_runs, ["host", "run_id"]).select(
+        "host", "pattern", "is_allow", F.length("pattern").alias("plen")
+    )
+
+
+def robots_match_sql(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """RFC 9309 longest-match robots verdict, entirely JVM-side.
+
+    Per URL: among '*'-group rules whose pattern is a path prefix
+    (exact ``substr`` compare — no regex escapes to get wrong), the
+    LONGEST pattern wins; Allow wins length ties; no match -> allowed
+    (and rule '').  NOTE the deliberate semantic difference from the
+    urllib twin: CPython's RobotFileParser is first-match-in-file-order,
+    RFC 9309 is longest-match — tests/test_robots_sql.py pins both the
+    agreeing corpus and a divergence case.
+
+    Scale: rules are a broadcast dimension (hosts x few rules); the
+    only frontier-keyed shuffle is the per-URL argmax window, which a
+    production round fuses with the politeness window on the same key.
+
+    Output: frontier columns + (allowed: boolean, rule: string).
+    """
+    rules = robots_rules_sql(robots)
+    path = F.coalesce(
+        F.nullif(F.regexp_extract("url", "^[a-z]+://[^/]*(/[^#?]*)", 1), F.lit("")),
+        F.lit("/"),
+    )
+    cand = frontier.withColumn("__path", path)
+    m = cand.join(F.broadcast(rules), "host", "left").withColumn(
+        "__hit",
+        F.col("pattern").isNotNull()
+        & (F.expr("substring(__path, 1, plen)") == F.col("pattern")),
+    )
+    wu = Window.partitionBy("url").orderBy(
+        F.desc("__hit"), F.desc("plen"), F.desc("is_allow"), F.col("pattern")
+    )
+    best = (
+        m.withColumn("__rn", F.row_number().over(wu))
+        .filter(F.col("__rn") == 1)
+        .withColumn(
+            "allowed",
+            F.when(F.col("__hit"), F.col("is_allow")).otherwise(F.lit(True)),
+        )
+        .withColumn(
+            "rule",
+            F.when(F.col("__hit"), F.col("pattern")).otherwise(F.lit("")),
+        )
+    )
+    return best.drop("pattern", "is_allow", "plen", "__hit", "__rn", "__path")

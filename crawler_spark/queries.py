@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import corpus, linkgraph, metadata, multimodal, similarity, streaming
+from . import frontier as frontier_mod
 from . import urls as urls_mod
 
 # -- DuckDB-side twins of the Spark expression fragments --------------------
@@ -2351,6 +2352,119 @@ FROM s WHERE loc <> ''
 ORACLE_SITEMAP = _oracle_sitemap()
 
 
+def q_robots_sql_gate(spark, sf_dir):
+    """RFC 9309 longest-match robots gate in pure SQL
+    (frontier.robots_match_sql — the JVM scale twin of the urllib
+    Arrow-UDF gate): 50 synthesized hosts with a decoy bot group,
+    comments, blanks, Allow-overrides-Disallow nesting; 6 path shapes
+    per order hit allow/deny/longest-match/no-match branches."""
+    k = F.col("o_orderkey")
+    n = (k % 50).cast("string")
+    m = (k % 5).cast("string")
+    host = F.concat(F.lit("h"), n, F.lit(".example.com"))
+    robots = (
+        _t(spark, sf_dir, "orders")
+        .select(host.alias("host"), m.alias("m"))
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("# synthetic\nUser-agent: bot\nDisallow: /\n\n"
+                      "User-agent: *\nAllow: /d"),
+                F.col("m"),
+                F.lit("/ok\nDisallow: /d"),
+                F.col("m"),
+                F.lit("/\nDisallow: /tmp\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    path = (
+        F.when(k % 6 == 0, F.concat(F.lit("/d"), m, F.lit("/x")))
+        .when(k % 6 == 1, F.concat(F.lit("/d"), m, F.lit("/ok/page")))
+        .when(k % 6 == 2, F.lit("/tmp/file"))
+        .when(k % 6 == 3, F.concat(F.lit("/public/p"), k.cast("string")))
+        .when(k % 6 == 4, F.concat(F.lit("/e"), m, F.lit("/x")))
+        .otherwise(F.concat(F.lit("/d"), m, F.lit("/okay")))
+    )
+    fr = _t(spark, sf_dir, "orders").select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    return frontier_mod.robots_match_sql(fr, robots).select(
+        "host", "url", "allowed", "rule"
+    )
+
+
+ORACLE_ROBOTS_SQL = r"""
+WITH o AS (SELECT o_orderkey AS k,
+             'h' || cast(o_orderkey % 50 as varchar) || '.example.com' AS host,
+             cast(o_orderkey % 5 as varchar) AS m
+           FROM orders),
+robots AS (SELECT DISTINCT host,
+             '# synthetic' || chr(10) || 'User-agent: bot' || chr(10) ||
+             'Disallow: /' || chr(10) || chr(10) ||
+             'User-agent: *' || chr(10) ||
+             'Allow: /d' || m || '/ok' || chr(10) ||
+             'Disallow: /d' || m || '/' || chr(10) ||
+             'Disallow: /tmp' || chr(10) AS robots_txt
+           FROM o),
+fr AS (SELECT host,
+         'https://' || host ||
+         CASE cast(k % 6 as int)
+           WHEN 0 THEN '/d' || m || '/x'
+           WHEN 1 THEN '/d' || m || '/ok/page'
+           WHEN 2 THEN '/tmp/file'
+           WHEN 3 THEN '/public/p' || cast(k as varchar)
+           WHEN 4 THEN '/e' || m || '/x'
+           ELSE '/d' || m || '/okay'
+         END AS url
+       FROM o),
+lin0 AS (SELECT host, regexp_split_to_array(robots_txt, '\r?\n') AS arr
+         FROM robots),
+lin AS (SELECT host, i AS pos,
+          trim(regexp_replace(arr[i], '#.*', '')) AS l
+        FROM lin0, UNNEST(generate_series(1, len(arr))) AS g(i)),
+marked0 AS (SELECT host, pos, l,
+    regexp_matches(l, '(?i)^user-agent:') AS is_ua,
+    regexp_extract(l, '(?i)^user-agent:\s*(\S+)', 1) AS agent,
+    regexp_extract(l, '(?i)^allow:\s*(\S*)', 1) AS allow_pat,
+    regexp_extract(l, '(?i)^disallow:\s*(\S*)', 1) AS dis_pat
+  FROM lin),
+marked1 AS (SELECT *,
+    coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY pos), false)
+      AS prev_ua
+  FROM marked0),
+marked AS (SELECT *,
+    sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+      OVER (PARTITION BY host ORDER BY pos) AS run_id
+  FROM marked1),
+star_runs AS (SELECT DISTINCT host, run_id FROM marked
+              WHERE is_ua AND agent = '*'),
+rules AS (SELECT m.host,
+            CASE WHEN allow_pat <> '' THEN allow_pat ELSE dis_pat END AS pattern,
+            allow_pat <> '' AS is_allow
+          FROM marked m JOIN star_runs USING (host, run_id)
+          WHERE allow_pat <> '' OR dis_pat <> ''),
+r2 AS (SELECT host, pattern, is_allow, length(pattern) AS plen FROM rules),
+cand AS (SELECT host, url,
+           coalesce(nullif(regexp_extract(url, '^[a-z]+://[^/]*(/[^#?]*)', 1), ''), '/') AS path
+         FROM fr),
+mm AS (SELECT c.host, c.url,
+         r2.pattern, r2.is_allow, r2.plen,
+         r2.pattern IS NOT NULL
+           AND substr(c.path, 1, r2.plen) = r2.pattern AS hit
+       FROM cand c LEFT JOIN r2 ON c.host = r2.host),
+best AS (SELECT host, url, pattern, is_allow, hit,
+           row_number() OVER (PARTITION BY url
+             ORDER BY hit DESC, plen DESC, is_allow DESC, pattern) AS rn
+         FROM mm)
+SELECT host, url,
+  CASE WHEN hit THEN is_allow ELSE true END AS allowed,
+  CASE WHEN hit THEN pattern ELSE '' END AS rule
+FROM best WHERE rn = 1
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2374,6 +2488,7 @@ QUERIES = {
     "sketch_hll_distinct": q_hll_distinct,
     "sketch_countmin_topk": q_countmin_topk,
     "sitemap_extract": q_sitemap_extract,
+    "robots_sql_gate": q_robots_sql_gate,
     "url_frontier_filter": q_url_frontier_filter,
     "doc_statistics": q_doc_statistics,
     "doc_keys": q_doc_keys,
@@ -2466,6 +2581,7 @@ ORACLES = {
     "sketch_hll_distinct": ORACLE_HLL,
     "sketch_countmin_topk": ORACLE_COUNTMIN,
     "sitemap_extract": ORACLE_SITEMAP,
+    "robots_sql_gate": ORACLE_ROBOTS_SQL,
     "text_repetition": ORACLE_REPETITION,
     "dedup_span": ORACLE_SPAN_DEDUP,
     "url_frontier_filter": ORACLE_URL_FILTER,
