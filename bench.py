@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "sketch_countmin_topk",
     "sitemap_extract",
     "robots_sql_gate",
+    "redirect_resolve",
     "text_repetition",
     "dedup_span",
     "url_frontier_filter",

@@ -2072,6 +2072,89 @@ def q_crawl_mini(spark, sf_dir):
     )
 
 
+def _redirect_edges(spark, sf_dir):
+    """Redirect 3xx edges synthesized from orders: per-key chains of
+    length k%5 (0..4 hops ending at /final-k) plus a planted 3-cycle
+    every 31st key — both resolver verdict branches carry weight."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = F.concat(
+        F.lit("https://h"), (k % 50).cast("string"), F.lit(".example.com")
+    )
+    ks = k.cast("string")
+    parts = []
+    for j in range(4):
+        src = F.concat(base, F.lit(f"/r"), ks, F.lit(f"-{j}"))
+        dst = F.when(
+            (k % 5) == j + 1, F.concat(base, F.lit("/final-"), ks)
+        ).otherwise(F.concat(base, F.lit(f"/r"), ks, F.lit(f"-{j + 1}")))
+        parts.append(
+            o.filter(k % 5 > j).select(src.alias("src"), dst.alias("dst"))
+        )
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        parts.append(
+            o.filter(k % 31 == 0).select(
+                F.concat(base, F.lit(f"/c"), ks, F.lit(f"-{a}")).alias("src"),
+                F.concat(base, F.lit(f"/c"), ks, F.lit(f"-{b}")).alias("dst"),
+            )
+        )
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.union(p)
+    return e
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling
+    (urls.resolve_redirects, 4 doublings -> chains to 16 hops): chain
+    members resolve to their terminal with exact hop counts; cycle
+    members come back status='loop'."""
+    return urls_mod.resolve_redirects(
+        _redirect_edges(spark, sf_dir), max_doublings=4
+    )
+
+
+def _oracle_redirect(doublings: int = 4) -> str:
+    chain = []
+    for j in range(4):
+        chain.append(
+            f"SELECT base || '/r' || ks || '-{j}' AS src,"
+            f" CASE WHEN L = {j + 1} THEN base || '/final-' || ks"
+            f" ELSE base || '/r' || ks || '-{j + 1}' END AS dst"
+            f" FROM o WHERE L > {j}"
+        )
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        chain.append(
+            f"SELECT base || '/c' || ks || '-{a}',"
+            f" base || '/c' || ks || '-{b}' FROM o WHERE k % 31 = 0"
+        )
+    cte = [
+        "o AS (SELECT o_orderkey AS k, cast(o_orderkey as varchar) AS ks,"
+        " cast(o_orderkey % 5 as int) AS L,"
+        " 'https://h' || cast(o_orderkey % 50 as varchar) || '.example.com'"
+        " AS base FROM orders)",
+        "e AS (" + "\nUNION ALL ".join(chain) + ")",
+        "p0 AS (SELECT src AS url, dst AS p, 1::BIGINT AS hops FROM e)",
+    ]
+    for i in range(1, doublings + 1):
+        cte.append(
+            f"p{i} AS (SELECT a.url, coalesce(b.p, a.p) AS p,"
+            f" a.hops + coalesce(b.hops, 0) AS hops"
+            f" FROM p{i - 1} a LEFT JOIN p{i - 1} b ON a.p = b.url)"
+        )
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+SELECT a.url, a.p AS final_url, a.hops,
+  CASE WHEN s.src IS NOT NULL THEN 'loop' ELSE 'ok' END AS status
+FROM p{doublings} a LEFT JOIN (SELECT DISTINCT src FROM e) s ON a.p = s.src
+"""
+    )
+
+
+ORACLE_REDIRECT = _oracle_redirect(4)
+
+
 def q_dsir_weight(spark, sf_dir):
     """DSIR importance-resampling weights (corpus.dsir_weight): hashed
     unigram log-likelihood ratio of an English target model over the
@@ -2489,6 +2572,7 @@ QUERIES = {
     "sketch_countmin_topk": q_countmin_topk,
     "sitemap_extract": q_sitemap_extract,
     "robots_sql_gate": q_robots_sql_gate,
+    "redirect_resolve": q_redirect_resolve,
     "url_frontier_filter": q_url_frontier_filter,
     "doc_statistics": q_doc_statistics,
     "doc_keys": q_doc_keys,
@@ -2582,6 +2666,7 @@ ORACLES = {
     "sketch_countmin_topk": ORACLE_COUNTMIN,
     "sitemap_extract": ORACLE_SITEMAP,
     "robots_sql_gate": ORACLE_ROBOTS_SQL,
+    "redirect_resolve": ORACLE_REDIRECT,
     "text_repetition": ORACLE_REPETITION,
     "dedup_span": ORACLE_SPAN_DEDUP,
     "url_frontier_filter": ORACLE_URL_FILTER,

@@ -207,3 +207,65 @@ def sitemap_expand(pages, xml_col: str = "xml", url_col: str = "page_url"):
         )
         .filter(F.col("loc") != "")
     )
+
+
+def resolve_redirects(edges, max_doublings: int = 4):
+    """Resolve HTTP redirect chains to their terminal URL by pointer
+    doubling (path doubling: after round i every pointer has jumped
+    2^i hops), the log-round formulation a 10^10-URL fetch log needs —
+    a chain of length L resolves in ceil(log2 L) self-joins instead of
+    L sequential ones.
+
+    The reference follows redirects one at a time inside requests
+    (allow_redirects, e.g. ``pygdpr/models/dpa/ireland/__init__.py``
+    fetch calls); a distributed fetch log instead materializes the
+    ``(src, dst)`` 3xx edges and resolves all chains at once.
+
+    Input: ``edges(src, dst)`` — one row per redirecting URL (src
+    redirects to dst); URLs with no row are terminal.  After
+    ``max_doublings`` rounds any pointer still sitting on a redirecting
+    URL is part of a chain longer than ``2**max_doublings`` or a cycle
+    -> status 'loop' (real crawlers cap redirect chains the same way;
+    requests' default cap is 30).
+
+    Scale: each round is one equi-join of the current pointer table
+    with itself on the pointed-to key (hash-partitioned both sides, no
+    broadcast needed at any size) plus an integer hop add; rounds =
+    ``max_doublings`` regardless of corpus size.  Output: (url,
+    final_url, hops, status['ok'|'loop']) for every redirecting url.
+
+    Determinism: pure pointer arithmetic on strings + integer hop
+    sums — no floats, no ordering sensitivity.
+    """
+    # ptr(url) = where url's pointer currently rests; hops = distance
+    ptr = edges.select(
+        F.col("src").alias("url"),
+        F.col("dst").alias("p"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    for _ in range(max_doublings):
+        nxt = ptr.select(
+            F.col("url").alias("p"),
+            F.col("p").alias("p2"),
+            F.col("hops").alias("h2"),
+        )
+        ptr = (
+            ptr.join(nxt, "p", "left")
+            .select(
+                "url",
+                F.coalesce("p2", "p").alias("p"),
+                (F.col("hops") + F.coalesce("h2", F.lit(0))).alias("hops"),
+            )
+        )
+    still = edges.select(F.col("src").alias("p"), F.lit(True).alias("__redir"))
+    return (
+        ptr.join(still, "p", "left")
+        .select(
+            "url",
+            F.col("p").alias("final_url"),
+            "hops",
+            F.when(F.col("__redir").isNotNull(), F.lit("loop"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+        )
+    )

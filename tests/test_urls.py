@@ -149,3 +149,22 @@ def test_sitemap_expand_pairs_optional_lastmod(spark):
     ]
     plan = sitemap_expand(d)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    """Pointer doubling: a 5-hop chain resolves in 4 doublings (2^4 >=
+    5) with exact per-member hop counts; a 2-cycle reports 'loop';
+    terminal lookup is exact."""
+    from crawler_spark.urls import resolve_redirects
+
+    edges = [(f"u{i}", f"u{i+1}") for i in range(5)]  # u0->...->u5
+    edges += [("a", "b"), ("b", "a")]
+    d = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["url"]: (r["final_url"], r["hops"], r["status"])
+        for r in resolve_redirects(d, max_doublings=4).collect()
+    }
+    for i in range(5):
+        assert got[f"u{i}"] == ("u5", 5 - i, "ok"), (i, got[f"u{i}"])
+    assert got["a"][2] == "loop" and got["b"][2] == "loop"
+    assert len(got) == 7
