@@ -31,7 +31,7 @@ driver probe, same convention as the engine's round metrics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PPB = 1_000_000_000
@@ -123,3 +123,39 @@ def pagerank_fixedpoint(
         prev.unpersist()
     nd.unpersist()
     return out
+
+
+def rank_priority(frontier: DataFrame, ranks: DataFrame, n_tiers: int = 8) -> DataFrame:
+    """Map host PageRank into the frontier's ``priority`` column (lower
+    = sooner, matching the scheduler's ``ORDER BY priority, seq`` in
+    ``frontier.rank_budget``): hosts are bucketed into ``n_tiers``
+    priority tiers by rank, highest-ranked hosts -> tier 0.
+
+    Tiering (ntile over rank_ppb desc, host tie-break) rather than raw
+    rank keeps the frontier's priority small-cardinality — the
+    politeness window sorts (priority, seq) inside salted host
+    partitions, and a per-host-unique priority would defeat the
+    pre-prune's margin arithmetic.  ``ranks`` is hosts-sized ->
+    broadcast; unranked hosts (not yet in the graph) keep their
+    existing priority.  The ntile window is global over the RANKS dim
+    (not the frontier); at 10^8 hosts swap it for fixed rank_ppb
+    thresholds (approx quantiles computed once) to avoid the
+    single-partition sort — the frontier-side plan is unchanged.
+
+    Output: frontier with ``priority`` replaced where a rank exists.
+    """
+    w = Window.orderBy(F.desc("rank_ppb"), "node")
+    tiers = ranks.select(
+        F.col("node").alias("host"),
+        (F.ntile(n_tiers).over(w) - 1).alias("__rank_tier"),
+    )
+    return (
+        frontier.join(F.broadcast(tiers), "host", "left")
+        .withColumn(
+            "priority",
+            F.coalesce("__rank_tier", F.col("priority")).cast(
+                frontier.schema["priority"].dataType.simpleString()
+            ),
+        )
+        .drop("__rank_tier")
+    )

@@ -67,3 +67,29 @@ def test_pagerank_releases_intermediate_caches(spark):
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert during <= before + 1
     assert after <= before
+
+
+def test_rank_priority_feeds_scheduler_order(spark):
+    """rank_priority maps ranks to frontier priority tiers (top-ranked
+    host -> tier 0) and the politeness ranker consumes them: the
+    high-rank host's URL schedules ahead of the low-rank host's within
+    a budget of 1 per host... and unranked hosts keep their prior."""
+    from crawler_spark import linkgraph
+
+    # star graph: everyone links to 'big'; 'small' links out only
+    edges = _edges(
+        spark, [("small", "big"), ("h2", "big"), ("h3", "big"), ("big", "h2")]
+    )
+    ranks = linkgraph.pagerank_fixedpoint(edges, iters=3)
+    fr = spark.createDataFrame(
+        [("big", "u1", 5), ("small", "u2", 5), ("unranked", "u3", 2)],
+        "host string, url string, priority int",
+    )
+    out = {
+        r["host"]: r["priority"]
+        for r in linkgraph.rank_priority(fr, ranks, n_tiers=4).collect()
+    }
+    ranks.unpersist()
+    assert out["big"] == 0                      # highest rank -> tier 0
+    assert out["big"] < out["small"]
+    assert out["unranked"] == 2                 # untouched
