@@ -129,3 +129,63 @@ def test_token_stats_matches_spec(docs):
     got = {r["doc_id"]: r["ws_tokens"] for r in corpus.token_stats(df).collect()}
     for did, text in raw.items():
         assert got[did] == len(tokens_of(text)), did
+
+
+def test_redirect_resolve_matches_python_spec(spark):
+    """Random functional graph (each src has ONE outgoing edge; mixed
+    chains, merges, cycles, self-loops absent by construction): the
+    pointer-doubling resolver must agree with a pure-Python pointer
+    walk capped at 2^4 hops for every source node."""
+    from crawler_spark.urls import resolve_redirects
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(60)]
+    edges = {}
+    for s in nodes[:45]:
+        d = rng.choice(nodes)
+        if d != s:
+            edges[s] = d
+    cap = 16
+
+    def walk(u):
+        cur, hops = edges[u], 1
+        while cur in edges and hops < cap:
+            cur = edges[cur]
+            hops += 1
+        status = "loop" if cur in edges else "ok"
+        return cur, hops, status
+
+    d = spark.createDataFrame(list(edges.items()), "src string, dst string")
+    got = {
+        r["url"]: (r["final_url"], r["hops"], r["status"])
+        for r in resolve_redirects(d, max_doublings=4).collect()
+    }
+    assert set(got) == set(edges)
+    for u in edges:
+        exp_final, exp_hops, exp_status = walk(u)
+        g_final, g_hops, g_status = got[u]
+        assert g_status == exp_status, (u, got[u], walk(u))
+        if exp_status == "ok":
+            assert (g_final, g_hops) == (exp_final, exp_hops), (u, got[u], walk(u))
+
+
+def test_hll_distinct_error_bound_random_corpora(spark):
+    """HLL p=9 over random vocab sizes: every group estimate within
+    5 standard errors (1.04/sqrt(512) ~ 4.6% -> 23%) of exact, and the
+    estimate is exactly reproducible run to run."""
+    rng = random.Random(11)
+    rows = []
+    gid = 0
+    for n_vocab in (30, 300, 1500):
+        words = [f"w{gid}_{j}" for j in range(n_vocab)]
+        for i in range(400):
+            rows.append(
+                (gid * 1000 + i, " ".join(rng.choices(words, k=12)), f"g{gid}")
+            )
+        gid += 1
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out1 = {r["source"]: r for r in corpus.hll_distinct(d).collect()}
+    out2 = {r["source"]: r["n_est"] for r in corpus.hll_distinct(d).collect()}
+    for g, r in out1.items():
+        assert abs(r["n_est"] - r["n_exact"]) / r["n_exact"] < 0.23, (g, dict(r.asDict()))
+        assert out2[g] == r["n_est"]
