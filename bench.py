@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "sketch_countmin_topk",
     "sitemap_extract",
     "robots_sql_gate",
+    "robots_crawl_delay",
     "redirect_resolve",
     "text_repetition",
     "dedup_span",

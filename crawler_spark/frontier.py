@@ -466,22 +466,25 @@ def seed_frontier(seeds: DataFrame) -> DataFrame:
     )
 
 
-def robots_rules_sql(robots: DataFrame) -> DataFrame:
-    """Parse raw robots.txt bodies into '*'-group prefix rules with
-    pure SQL/window expressions — the JVM scale path beside the
-    urllib.robotparser Arrow UDF (:func:`robots_allowed_udf`, the
-    reference-faithful twin per SURVEY R5).
+def _robots_star_lines(robots: DataFrame) -> DataFrame:
+    """Parse raw robots.txt bodies into directive lines belonging to
+    '*' user-agent groups, with pure SQL/window expressions — the JVM
+    scale path beside the urllib.robotparser Arrow UDF
+    (:func:`robots_allowed_udf`, the reference-faithful twin per
+    SURVEY R5).
 
     Grammar handled (RFC 9309 subset, documented): comments stripped,
     blank lines, User-agent groups where CONSECUTIVE user-agent lines
     share the following rules (run-detection via lag+cumsum windows),
     Allow/Disallow prefix patterns (no * or $ wildcards — the fixture
-    and reference corpus never use them), empty patterns ignored.
+    and reference corpus never use them) plus Crawl-delay, empty
+    patterns ignored by the consumers.
 
-    Input: (host, robots_txt).  Output: (host, pattern, is_allow,
-    plen) — only rules from groups naming agent '*'.  Window partitions
-    are per-host robots lines (bounded by the 500 KiB robots size cap
-    real crawlers enforce), so no skew at any corpus size.
+    Input: (host, robots_txt).  Output: marked directive lines
+    (allow_pat/dis_pat/delay_pat columns) of groups naming agent '*'.
+    Window partitions are per-host robots lines (bounded by the
+    500 KiB robots size cap real crawlers enforce), so no skew at any
+    corpus size.
     """
     lines = (
         robots.select(
@@ -500,6 +503,9 @@ def robots_rules_sql(robots: DataFrame) -> DataFrame:
         F.expr(r"regexp_extract(l, '(?i)^user-agent:\\s*(\\S+)', 1)").alias("agent"),
         F.expr(r"regexp_extract(l, '(?i)^allow:\\s*(\\S*)', 1)").alias("allow_pat"),
         F.expr(r"regexp_extract(l, '(?i)^disallow:\\s*(\\S*)', 1)").alias("dis_pat"),
+        F.expr(r"regexp_extract(l, '(?i)^crawl-delay:\\s*([0-9]+)', 1)").alias(
+            "delay_pat"
+        ),
     ).withColumn(
         "run_id",
         F.sum(
@@ -515,17 +521,43 @@ def robots_rules_sql(robots: DataFrame) -> DataFrame:
         .select("host", "run_id")
         .distinct()
     )
-    rules = marked.filter(
+    return marked.join(star_runs, ["host", "run_id"])
+
+
+def robots_rules_sql(robots: DataFrame) -> DataFrame:
+    """'*'-group Allow/Disallow prefix rules (see :func:`_robots_star_lines`
+    for the grammar).  Output: (host, pattern, is_allow, plen)."""
+    star = _robots_star_lines(robots)
+    rules = star.filter(
         (F.col("allow_pat") != "") | (F.col("dis_pat") != "")
     ).select(
-        "host", "run_id",
+        "host",
         F.when(F.col("allow_pat") != "", F.col("allow_pat"))
         .otherwise(F.col("dis_pat"))
         .alias("pattern"),
         (F.col("allow_pat") != "").alias("is_allow"),
     )
-    return rules.join(star_runs, ["host", "run_id"]).select(
+    return rules.select(
         "host", "pattern", "is_allow", F.length("pattern").alias("plen")
+    )
+
+
+def robots_crawl_delay_sql(robots: DataFrame) -> DataFrame:
+    """Per-host Crawl-delay from the '*' groups (min across duplicate
+    directives — the conservative read), feeding the politeness token
+    bucket: ``budget_per_round = floor(round_seconds / crawl_delay)``
+    replaces the default per-host budget wherever a delay is declared
+    (R1; the reference hard-codes time.sleep(5) — gdprCrawler.py:303 —
+    which is exactly ``Crawl-delay: 5`` here).
+
+    Output: (host, crawl_delay: bigint).  Same bounded per-host window
+    partitions as the rules parser; one row per declaring host.
+    """
+    return (
+        _robots_star_lines(robots)
+        .filter(F.col("delay_pat") != "")
+        .groupBy("host")
+        .agg(F.min(F.col("delay_pat").cast("long")).alias("crawl_delay"))
     )
 
 

@@ -2072,6 +2072,87 @@ def q_crawl_mini(spark, sf_dir):
     )
 
 
+def q_robots_crawl_delay(spark, sf_dir):
+    """Crawl-delay extraction (frontier.robots_crawl_delay_sql): the
+    '*' group declares delay 1+n%7 (with a duplicate higher value —
+    min wins) and a decoy 'bot' group declares 99 which must be
+    ignored; budget = floor(60s round / delay) is the politeness
+    token-bucket tie-in (the reference's time.sleep(5) ==
+    'Crawl-delay: 5', gdprCrawler.py:303)."""
+    k = F.col("o_orderkey")
+    host = F.concat(
+        F.lit("h"), (k % 50).cast("string"), F.lit(".example.com")
+    )
+    d = ((k % 50) % 7 + 1).cast("string")
+    d2 = ((k % 50) % 7 + 3).cast("string")
+    robots = (
+        _t(spark, sf_dir, "orders")
+        .select(host.alias("host"), d.alias("d"), d2.alias("d2"))
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("User-agent: bot\nCrawl-delay: 99\nDisallow: /\n\n"
+                      "User-agent: *\nCrawl-delay: "),
+                F.col("d"),
+                F.lit("\nDisallow: /private\nCrawl-delay: "),
+                F.col("d2"),
+                F.lit("\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    out = frontier_mod.robots_crawl_delay_sql(robots)
+    return out.select(
+        "host",
+        "crawl_delay",
+        F.expr("cast(floor(60 / crawl_delay) as bigint)").alias(
+            "budget_per_round"
+        ),
+    )
+
+
+ORACLE_CRAWL_DELAY = r"""
+WITH o AS (SELECT DISTINCT
+             'h' || cast(o_orderkey % 50 as varchar) || '.example.com' AS host,
+             cast((o_orderkey % 50) % 7 + 1 as varchar) AS d,
+             cast((o_orderkey % 50) % 7 + 3 as varchar) AS d2
+           FROM orders),
+robots AS (SELECT host,
+             'User-agent: bot' || chr(10) || 'Crawl-delay: 99' || chr(10) ||
+             'Disallow: /' || chr(10) || chr(10) ||
+             'User-agent: *' || chr(10) || 'Crawl-delay: ' || d || chr(10) ||
+             'Disallow: /private' || chr(10) || 'Crawl-delay: ' || d2 || chr(10)
+             AS robots_txt
+           FROM o),
+lin0 AS (SELECT host, regexp_split_to_array(robots_txt, '\r?\n') AS arr
+         FROM robots),
+lin AS (SELECT host, i AS pos,
+          trim(regexp_replace(arr[i], '#.*', '')) AS l
+        FROM lin0, UNNEST(generate_series(1, len(arr))) AS g(i)),
+m0 AS (SELECT host, pos, l,
+    regexp_matches(l, '(?i)^user-agent:') AS is_ua,
+    regexp_extract(l, '(?i)^user-agent:\s*(\S+)', 1) AS agent,
+    regexp_extract(l, '(?i)^crawl-delay:\s*([0-9]+)', 1) AS delay_pat
+  FROM lin),
+m1 AS (SELECT *,
+    coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY pos), false)
+      AS prev_ua
+  FROM m0),
+m2 AS (SELECT *,
+    sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+      OVER (PARTITION BY host ORDER BY pos) AS run_id
+  FROM m1),
+star AS (SELECT DISTINCT host, run_id FROM m2 WHERE is_ua AND agent = '*'),
+delays AS (SELECT m2.host,
+             min(cast(delay_pat as bigint)) AS crawl_delay
+           FROM m2 JOIN star USING (host, run_id)
+           WHERE delay_pat <> '' GROUP BY 1)
+SELECT host, crawl_delay,
+  cast(floor(60 / crawl_delay) as bigint) AS budget_per_round
+FROM delays
+"""
+
+
 def _redirect_edges(spark, sf_dir):
     """Redirect 3xx edges synthesized from orders: per-key chains of
     length k%5 (0..4 hops ending at /final-k) plus a planted 3-cycle
@@ -2572,6 +2653,7 @@ QUERIES = {
     "sketch_countmin_topk": q_countmin_topk,
     "sitemap_extract": q_sitemap_extract,
     "robots_sql_gate": q_robots_sql_gate,
+    "robots_crawl_delay": q_robots_crawl_delay,
     "redirect_resolve": q_redirect_resolve,
     "url_frontier_filter": q_url_frontier_filter,
     "doc_statistics": q_doc_statistics,
@@ -2666,6 +2748,7 @@ ORACLES = {
     "sketch_countmin_topk": ORACLE_COUNTMIN,
     "sitemap_extract": ORACLE_SITEMAP,
     "robots_sql_gate": ORACLE_ROBOTS_SQL,
+    "robots_crawl_delay": ORACLE_CRAWL_DELAY,
     "redirect_resolve": ORACLE_REDIRECT,
     "text_repetition": ORACLE_REPETITION,
     "dedup_span": ORACLE_SPAN_DEDUP,

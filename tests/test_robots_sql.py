@@ -96,3 +96,21 @@ def test_plan_stays_jvm_side(spark):
         .toString()
     )
     assert "Python" not in plan
+
+
+def test_crawl_delay_star_group_min_wins(spark):
+    """Crawl-delay: decoy bot-group value ignored; duplicate '*'
+    declarations take the min; hosts without a delay emit no row."""
+    robots = spark.createDataFrame(
+        [
+            ("h1", "User-agent: bot\nCrawl-delay: 99\n\n"
+                   "User-agent: *\nCrawl-delay: 4\nDisallow: /x\nCrawl-delay: 7\n"),
+            ("h2", "User-agent: *\nDisallow: /y\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        r["host"]: r["crawl_delay"]
+        for r in FR.robots_crawl_delay_sql(robots).collect()
+    }
+    assert got == {"h1": 4}
