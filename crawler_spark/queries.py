@@ -2516,6 +2516,69 @@ FROM s WHERE loc <> ''
 ORACLE_SITEMAP = _oracle_sitemap()
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC container round trip (warc.warc_pack / warc.warc_scan —
+    the Common-Crawl ``.warc.gz`` layout the reference's loose-file
+    docstore becomes at web scale, ``pygdpr/models/dpa/belgium/
+    __init__.py:175-183``): orders become (url, WARC-Date, html
+    payload) rows, pack into 24 per-record-gzip-member WARC files
+    (one inherent shuffle on the file key), scan back with mapInArrow,
+    and emit SQL-recomputable per-record columns — the md5 proves the
+    payload survived HTTP-block framing + gzip byte-exactly, and
+    ``digest_ok`` proves the stored sha1 payload digest verifies."""
+    from . import warc as warc_mod
+
+    k = F.col("o_orderkey")
+    rows = _t(spark, sf_dir, "orders").select(
+        (k % 24).alias("file_key"),
+        F.concat(
+            F.lit("https://h"), (k % 50).cast("string"),
+            F.lit(".example.com/doc"), k.cast("string"), F.lit(".html"),
+        ).alias("url"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("T"),
+            F.lpad((k % 24).cast("string"), 2, "0"), F.lit(":00:00Z"),
+        ).alias("warc_date"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>Order "), k.cast("string"),
+                F.lit("</title></head><body>"), F.col("o_orderpriority"),
+                F.lit(" status "), F.col("o_orderstatus"),
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    recs = warc_mod.warc_scan(warc_mod.warc_pack(rows))
+    return recs.select(
+        "url",
+        "warc_date",
+        "rec_type",
+        "http_status",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.col("digest_ok").cast("int").alias("digest_ok"),
+    )
+
+
+ORACLE_WARC = """
+WITH p AS (SELECT
+    'https://h' || cast(o_orderkey % 50 as varchar) || '.example.com/doc'
+      || cast(o_orderkey as varchar) || '.html' AS url,
+    strftime(o_orderdate, '%Y-%m-%d') || 'T'
+      || lpad(cast(o_orderkey % 24 as varchar), 2, '0') || ':00:00Z' AS warc_date,
+    '<html><head><title>Order ' || cast(o_orderkey as varchar)
+      || '</title></head><body>' || o_orderpriority || ' status '
+      || o_orderstatus || '</body></html>' AS body
+  FROM orders)
+SELECT url, warc_date, 'response' AS rec_type, 200 AS http_status,
+  md5(body) AS payload_md5,
+  cast(octet_length(cast(body as blob)) as bigint) AS n_bytes,
+  1 AS digest_ok
+FROM p
+"""
+
+
 def q_robots_sql_gate(spark, sf_dir):
     """RFC 9309 longest-match robots gate in pure SQL
     (frontier.robots_match_sql — the JVM scale twin of the urllib
@@ -2652,6 +2715,7 @@ QUERIES = {
     "sketch_hll_distinct": q_hll_distinct,
     "sketch_countmin_topk": q_countmin_topk,
     "sitemap_extract": q_sitemap_extract,
+    "warc_roundtrip": q_warc_roundtrip,
     "robots_sql_gate": q_robots_sql_gate,
     "robots_crawl_delay": q_robots_crawl_delay,
     "redirect_resolve": q_redirect_resolve,
@@ -2747,6 +2811,7 @@ ORACLES = {
     "sketch_hll_distinct": ORACLE_HLL,
     "sketch_countmin_topk": ORACLE_COUNTMIN,
     "sitemap_extract": ORACLE_SITEMAP,
+    "warc_roundtrip": ORACLE_WARC,
     "robots_sql_gate": ORACLE_ROBOTS_SQL,
     "robots_crawl_delay": ORACLE_CRAWL_DELAY,
     "redirect_resolve": ORACLE_REDIRECT,
