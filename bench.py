@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "sketch_hll_distinct",
     "sketch_countmin_topk",
     "sitemap_extract",
+    "url_surt",
+    "warc_roundtrip",
+    "warc_cdx",
     "robots_sql_gate",
     "robots_crawl_delay",
     "redirect_resolve",

@@ -2561,6 +2561,117 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_url_surt(spark, sf_dir):
+    """SURT urlkey (urls.surt_key — pure codegen CDX sort key): messy
+    URLs synthesized with mixed-case hosts, WWW. prefixes, default and
+    non-default ports, missing paths, and unsorted query params; the
+    oracle does NOT re-implement the parser — it constructs the
+    expected key directly from the same components, so the generic
+    Spark expression is checked against an independent derivation."""
+    k = F.col("o_orderkey")
+    n = (k % 50).cast("string")
+    scheme = F.when(k % 2 == 0, F.lit("http://")).otherwise(F.lit("https://"))
+    www = F.when(k % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    port = (
+        F.when(k % 5 == 0, F.lit(":8080"))
+        .when(k % 5 == 1, F.lit(":443"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(k % 7 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("/Dir"), (k % 9).cast("string"), F.lit("/Page"),
+            k.cast("string"), F.lit(".HTML"),
+        )
+    )
+    query = (
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("?b="), k.cast("string"), F.lit("&a="),
+                (k % 9).cast("string"),
+            ),
+        )
+        .when(k % 4 == 1, F.lit("?z=1"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        scheme, www, F.lit("H"), n, F.lit(".Example.COM"), port, path, query
+    )
+    return _t(spark, sf_dir, "orders").select(
+        url.alias("url"), urls_mod.surt_key(url).alias("surt")
+    )
+
+
+ORACLE_URL_SURT = """
+WITH o AS (SELECT o_orderkey AS k, cast(o_orderkey % 50 as varchar) AS n,
+                  cast(o_orderkey % 9 as varchar) AS d,
+                  cast(o_orderkey as varchar) AS ks
+           FROM orders),
+c AS (SELECT k, n, d, ks,
+    CASE WHEN k % 2 = 0 THEN 'http://' ELSE 'https://' END AS scheme,
+    CASE WHEN k % 3 = 0 THEN 'WWW.' ELSE '' END AS www,
+    CASE WHEN k % 5 = 0 THEN ':8080'
+         WHEN k % 5 = 1 THEN ':443' ELSE '' END AS port,
+    CASE WHEN k % 7 = 0 THEN ''
+         ELSE '/Dir' || d || '/Page' || ks || '.HTML' END AS path,
+    CASE WHEN k % 4 = 0 THEN '?b=' || ks || '&a=' || d
+         WHEN k % 4 = 1 THEN '?z=1' ELSE '' END AS query
+  FROM o)
+SELECT
+  scheme || www || 'H' || n || '.Example.COM' || port || path || query AS url,
+  'com,example,h' || n
+    || CASE WHEN k % 5 = 0 THEN ':8080' ELSE '' END
+    || ')'
+    || CASE WHEN k % 7 = 0 THEN '/'
+            ELSE '/dir' || d || '/page' || ks || '.html' END
+    || CASE WHEN k % 4 = 0 THEN '?a=' || d || '&b=' || ks
+            WHEN k % 4 = 1 THEN '?z=1' ELSE '' END AS surt
+FROM c
+"""
+
+
+def q_warc_cdx(spark, sf_dir):
+    """CDX index over the WARC files of q_warc_roundtrip
+    (warc.warc_cdx): the oracle re-derives (urlkey, ts14, url,
+    payload_md5) from the orders table; the gzip-member (offset,
+    length) columns are not SQL-derivable and are pinned instead by
+    tests/test_warc.py's ranged-read reconstruction, so this query
+    projects the oracle-checkable columns plus a per-file record count
+    cross-check."""
+    from . import warc as warc_mod
+
+    k = F.col("o_orderkey")
+    rows = _t(spark, sf_dir, "orders").select(
+        (k % 24).alias("file_key"),
+        F.concat(
+            F.lit("https://h"), (k % 50).cast("string"),
+            F.lit(".example.com/doc"), k.cast("string"), F.lit(".html"),
+        ).alias("url"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("T"),
+            F.lpad((k % 24).cast("string"), 2, "0"), F.lit(":00:00Z"),
+        ).alias("warc_date"),
+        F.encode(
+            F.concat(F.lit("doc "), k.cast("string"), F.lit(" body")), "UTF-8"
+        ).alias("payload"),
+    )
+    cdx = warc_mod.warc_cdx(warc_mod.warc_pack(rows))
+    return cdx.select("urlkey", "ts14", "url", "payload_md5")
+
+
+ORACLE_WARC_CDX = """
+SELECT
+  'com,example,h' || cast(o_orderkey % 50 as varchar) || ')/doc'
+    || cast(o_orderkey as varchar) || '.html' AS urlkey,
+  strftime(o_orderdate, '%Y%m%d')
+    || lpad(cast(o_orderkey % 24 as varchar), 2, '0') || '0000' AS ts14,
+  'https://h' || cast(o_orderkey % 50 as varchar) || '.example.com/doc'
+    || cast(o_orderkey as varchar) || '.html' AS url,
+  md5('doc ' || cast(o_orderkey as varchar) || ' body') AS payload_md5
+FROM orders
+"""
+
+
 ORACLE_WARC = """
 WITH p AS (SELECT
     'https://h' || cast(o_orderkey % 50 as varchar) || '.example.com/doc'
@@ -2715,7 +2826,9 @@ QUERIES = {
     "sketch_hll_distinct": q_hll_distinct,
     "sketch_countmin_topk": q_countmin_topk,
     "sitemap_extract": q_sitemap_extract,
+    "url_surt": q_url_surt,
     "warc_roundtrip": q_warc_roundtrip,
+    "warc_cdx": q_warc_cdx,
     "robots_sql_gate": q_robots_sql_gate,
     "robots_crawl_delay": q_robots_crawl_delay,
     "redirect_resolve": q_redirect_resolve,
@@ -2811,7 +2924,9 @@ ORACLES = {
     "sketch_hll_distinct": ORACLE_HLL,
     "sketch_countmin_topk": ORACLE_COUNTMIN,
     "sitemap_extract": ORACLE_SITEMAP,
+    "url_surt": ORACLE_URL_SURT,
     "warc_roundtrip": ORACLE_WARC,
+    "warc_cdx": ORACLE_WARC_CDX,
     "robots_sql_gate": ORACLE_ROBOTS_SQL,
     "robots_crawl_delay": ORACLE_CRAWL_DELAY,
     "redirect_resolve": ORACLE_REDIRECT,

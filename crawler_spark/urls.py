@@ -90,6 +90,70 @@ def url_hash(url: Column) -> Column:
     return F.xxhash64(url)
 
 
+def surt_key(url: Column) -> Column:
+    """SURT urlkey of an absolute http(s) URL — the sort key CDX
+    indexes use so one host's records cluster lexicographically
+    (``com,example)/path`` form, per the public webarchive-commons /
+    wayback SURT convention).  Documented subset: scheme stripped,
+    whole URL lowercased (the wayback canonicalizer lowercases the
+    full URL), leading ``www.`` dropped, default ports 80/443 dropped
+    (others kept as ``:port`` after the reversed host), host labels
+    reversed comma-joined, query parameters sorted.  Pure built-in
+    functions — the whole key stays inside whole-stage codegen; the
+    plain-Python twin :func:`surt_one` pins parity in tests.
+
+    Why this matters at 10^10 URLs: a CDX sorted by this key makes
+    per-host lookups and range scans contiguous (host = a key prefix),
+    which is also the natural range-partitioning key for the index.
+    """
+    u = F.lower(F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", ""))
+    hostport = F.regexp_extract(u, r"^([^/?#]*)", 1)
+    rest = F.substr(u, F.length(hostport) + F.lit(1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":\d+$", ""), r"^www\.", ""
+    )
+    revhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    portpart = F.when(port.isin("", "80", "443"), F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    path = F.substring_index(rest, "?", 1)
+    query = F.when(
+        rest.contains("?"), F.substr(rest, F.length(path) + F.lit(2))
+    ).otherwise(F.lit(""))
+    qpart = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+    )
+    pathpart = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(revhost, portpart, F.lit(")"), pathpart, qpart)
+
+
+def surt_one(url: str) -> str:
+    """Plain-Python twin of :func:`surt_key` (same documented subset) —
+    used by the CDX record walk and by the parity tests."""
+    u = url
+    i = u.find("://")
+    if i > 0:
+        u = u[i + 3 :]
+    u = u.lower()
+    for j, ch in enumerate(u):
+        if ch in "/?#":
+            hostport, rest = u[:j], u[j:]
+            break
+    else:
+        hostport, rest = u, ""
+    host, _, port = hostport.rpartition(":")
+    if not host or not port.isdigit():
+        host, port = hostport, ""
+    if host.startswith("www."):
+        host = host[4:]
+    revhost = ",".join(reversed(host.split(".")))
+    portpart = "" if port in ("", "80", "443") else ":" + port
+    path, _, query = rest.partition("?")
+    qpart = "?" + "&".join(sorted(query.split("&"))) if query else ""
+    return revhost + portpart + ")" + (path or "/") + qpart
+
+
 def doc_key(title: Column) -> Column:
     """md5(title) hexdigest — the reference's document identity key
     (pygdpr/models/dpa/austria/__init__.py:99), byte-identical to hashlib."""

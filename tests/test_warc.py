@@ -121,3 +121,69 @@ def test_spark_pack_deterministic_bytes(spark):
         spark.createDataFrame(list(reversed(rows)), schema).repartition(8)
     ).collect()
     assert bytes(a[0]["warc"]) == bytes(b[0]["warc"])
+
+
+def test_cdx_offsets_reconstruct_records(spark):
+    """A CDX row alone (offset, length) must reconstruct its record via
+    a ranged read + one gunzip — the random-access property the index
+    exists for."""
+    rows = [
+        (i % 2, f"https://h{i}.EXAMPLE.com/P{i}?b=2&a=1", "2024-06-07T08:09:%02dZ" % (i % 60),
+         b"body-%d" % i)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "file_key long, url string, warc_date string, payload binary")
+    files = warc.warc_pack(df)
+    blobs = {r["file_key"]: bytes(r["warc"]) for r in files.collect()}
+    cdx = warc.warc_cdx(files).collect()
+    assert len(cdx) == 12
+    from crawler_spark.urls import surt_one
+
+    for row in cdx:
+        member = blobs[row["file_key"]][row["offset"] : row["offset"] + row["length"]]
+        (rec,) = warc.decode_warc(member)
+        assert rec["url"] == row["url"]
+        assert surt_one(rec["url"]) == row["urlkey"]
+        assert row["ts14"] == "".join(c for c in rec["date"] if c.isdigit())
+        import hashlib
+
+        assert hashlib.md5(rec["payload"]).hexdigest() == row["payload_md5"]
+    # offsets within a file tile it exactly: sorted offsets are
+    # contiguous and end at the blob length
+    for fk, blob in blobs.items():
+        spans = sorted((r["offset"], r["length"]) for r in cdx if r["file_key"] == fk)
+        at = 0
+        for off, ln in spans:
+            assert off == at
+            at += ln
+        assert at == len(blob)
+
+
+def test_surt_spark_matches_python_twin(spark):
+    """urls.surt_key (codegen) vs urls.surt_one (Python) on adversarial
+    URL shapes: case, www, default/explicit ports, multi-?, empty path,
+    deep subdomains, fragments."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.urls import surt_key, surt_one
+
+    urls = [
+        "https://WWW.Example.COM/Path/To?b=2&a=1",
+        "http://example.com",
+        "http://example.com:8080/x",
+        "https://example.com:443/x?z=1",
+        "http://sub.Example.org/a?q=what?why&a=1",
+        "https://example.com/?",
+        "http://a.b.c.d.e/deep/path/",
+        "http://host/no-query#frag",
+        "http://www.w.com/WWW.case",
+        "http://WWW.example.com:80",
+        "http://example.com?q=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["s"]
+        for r in df.select("url", surt_key(F.col("url")).alias("s")).collect()
+    }
+    for u in urls:
+        assert got[u] == surt_one(u), u
