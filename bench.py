@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "sketch_countmin_topk",
     "sitemap_extract",
     "url_surt",
+    "trap_detect",
     "warc_roundtrip",
     "warc_cdx",
     "robots_sql_gate",

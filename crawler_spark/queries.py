@@ -2516,6 +2516,85 @@ FROM s WHERE loc <> ''
 ORACLE_SITEMAP = _oracle_sitemap()
 
 
+def q_trap_detect(spark, sf_dir):
+    """Crawler-trap detection (urls.trap_patterns): five synthesized
+    URL populations — a calendar grid, a session-id query space, a
+    hex-object store (all three collapse to one exploding shape each
+    and must flag), and two per-host document families spread over
+    prime host moduli (997/991 — coprime with the 32-periodic sparse
+    TPC-H orderkeys, so per-host counts stay under threshold) —
+    grouped by (host, shape) with the trap verdict."""
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    url = (
+        F.when(
+            k % 5 == 0,
+            F.concat(
+                F.lit("https://trap.example.com/cal/2024/"),
+                ((k % 12) + 1).cast("string"), F.lit("/"),
+                ((k % 28) + 1).cast("string"),
+            ),
+        )
+        .when(
+            k % 5 == 1,
+            F.concat(
+                F.lit("https://shop.example.com/item?sid="),
+                F.md5(F.encode(ks, "UTF-8")), F.lit("&page="),
+                (k % 7).cast("string"),
+            ),
+        )
+        .when(
+            k % 5 == 2,
+            F.concat(
+                F.lit("https://h"), (k % 997).cast("string"),
+                F.lit(".example.com/doc/"), ks, F.lit(".html"),
+            ),
+        )
+        .when(
+            k % 5 == 3,
+            F.concat(
+                F.lit("https://cdn.example.com/obj/"),
+                F.md5(F.encode(F.concat(F.lit("o"), ks), "UTF-8")),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"), (k % 991).cast("string"),
+                F.lit(".example.com/page-"), ks,
+            )
+        )
+    )
+    frontier = _t(spark, sf_dir, "orders").select(url.alias("url"))
+    return urls_mod.trap_patterns(frontier, threshold=100)
+
+
+ORACLE_TRAP = """
+WITH o AS (SELECT o_orderkey AS k, cast(o_orderkey as varchar) AS ks FROM orders),
+u AS (SELECT
+    CASE
+      WHEN k % 5 = 0 THEN 'https://trap.example.com/cal/2024/'
+        || cast(k % 12 + 1 as varchar) || '/' || cast(k % 28 + 1 as varchar)
+      WHEN k % 5 = 1 THEN 'https://shop.example.com/item?sid='
+        || md5(ks) || '&page=' || cast(k % 7 as varchar)
+      WHEN k % 5 = 2 THEN 'https://h' || cast(k % 997 as varchar)
+        || '.example.com/doc/' || ks || '.html'
+      WHEN k % 5 = 3 THEN 'https://cdn.example.com/obj/' || md5('o' || ks)
+      ELSE 'https://h' || cast(k % 991 as varchar) || '.example.com/page-' || ks
+    END AS url
+  FROM o),
+s AS (SELECT
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+    regexp_replace(regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1)),
+      '[0-9a-f]{8,}', 'h', 'g'), '[0-9]+', '0', 'g'), '=[^&#]*', '=*', 'g')
+      AS pattern
+  FROM u)
+SELECT host, CASE WHEN pattern = '' THEN '/' ELSE pattern END AS pattern,
+  count(*) AS n_urls, count(*) > 100 AS trap
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC container round trip (warc.warc_pack / warc.warc_scan —
     the Common-Crawl ``.warc.gz`` layout the reference's loose-file
@@ -2827,6 +2906,7 @@ QUERIES = {
     "sketch_countmin_topk": q_countmin_topk,
     "sitemap_extract": q_sitemap_extract,
     "url_surt": q_url_surt,
+    "trap_detect": q_trap_detect,
     "warc_roundtrip": q_warc_roundtrip,
     "warc_cdx": q_warc_cdx,
     "robots_sql_gate": q_robots_sql_gate,
@@ -2925,6 +3005,7 @@ ORACLES = {
     "sketch_countmin_topk": ORACLE_COUNTMIN,
     "sitemap_extract": ORACLE_SITEMAP,
     "url_surt": ORACLE_URL_SURT,
+    "trap_detect": ORACLE_TRAP,
     "warc_roundtrip": ORACLE_WARC,
     "warc_cdx": ORACLE_WARC_CDX,
     "robots_sql_gate": ORACLE_ROBOTS_SQL,

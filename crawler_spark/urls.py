@@ -220,6 +220,49 @@ def url_quality_filter(
     )
 
 
+def url_shape(url: Column) -> Column:
+    """Collapse a URL's path+query to its *shape*: lowercase, long hex
+    runs (session ids, content hashes) → ``h``, digit runs → ``0``,
+    query values → ``*``.  URLs minted by the same template collapse to
+    one shape string — the key crawler-trap detection groups on.  Rule
+    order matters and is mirrored exactly by the oracle: hex before
+    digits (hex runs contain digits), values last (they may contain
+    both).  Pure codegen regex — zero shuffle."""
+    path_q = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    s = F.lower(path_q)
+    s = F.regexp_replace(s, r"[0-9a-f]{8,}", "h")
+    s = F.regexp_replace(s, r"[0-9]+", "0")
+    s = F.regexp_replace(s, r"=[^&#]*", "=*")
+    return F.when(s == "", F.lit("/")).otherwise(s)
+
+
+def trap_patterns(df, url_col: str = "url", threshold: int = 100):
+    """Crawler-trap detection over a frontier or fetch log: count URLs
+    per (host, :func:`url_shape`) and flag shapes whose population
+    explodes — calendar grids, session-id spaces, faceted-search
+    combinatorics.  The reference crawls 29 hand-picked hosts and never
+    needs this; a 10^10-URL frontier dies without it (infinite URL
+    spaces are *generated faster than they are crawled*, so the gate
+    must be shape-level, not seen-set-level — every trap URL is new).
+
+    Scale shape: one count aggregation with map-side partials; the
+    shuffle key (host, shape) is exactly the explosion being measured,
+    and partial aggregation collapses each trap to one row per map
+    task, so the hotter the trap, the MORE the combine absorbs.  The
+    flagged output is a small dimension joined back into frontier
+    admission by broadcast (the same tie-in as the robots deny-list).
+
+    Output: (host, pattern, n_urls, trap).
+    """
+    u = F.col(url_col)
+    shaped = df.select(host_of(u).alias("host"), url_shape(u).alias("pattern"))
+    return (
+        shaped.groupBy("host", "pattern")
+        .agg(F.count("*").alias("n_urls"))
+        .withColumn("trap", F.col("n_urls") > threshold)
+    )
+
+
 def sitemap_expand(pages, xml_col: str = "xml", url_col: str = "page_url"):
     """Expand sitemap XML pages into frontier candidates (a source
     format the reference never reads — its frontier comes only from

@@ -168,3 +168,46 @@ def test_resolve_redirects_chains_and_cycles(spark):
         assert got[f"u{i}"] == ("u5", 5 - i, "ok"), (i, got[f"u{i}"])
     assert got["a"][2] == "loop" and got["b"][2] == "loop"
     assert len(got) == 7
+
+
+def test_url_shape_collapses_templates(spark):
+    """url_shape: same-template URLs collapse to one string; hex runs
+    collapse before digits; query values mask last."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.urls import url_shape
+
+    cases = [
+        ("https://t.com/cal/2024/3/17", "/cal/0/0/0"),
+        ("https://t.com/cal/2024/11/28", "/cal/0/0/0"),
+        ("https://t.com/item?sid=0123456789abcdef&page=3", "/item?sid=*&page=*"),
+        ("https://t.com/obj/deadbeefcafe1234", "/obj/h"),
+        ("https://t.com/Doc/Page.HTML", "/doc/page.html"),
+        ("https://t.com", "/"),
+        ("https://t.com/x#frag", "/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["s"]
+        for r in df.select("url", url_shape(F.col("url")).alias("s")).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_trap_patterns_flags_exploding_shapes(spark):
+    """A 300-URL calendar grid on one host flags; 6-URL-per-host doc
+    families do not; threshold is exclusive."""
+    from crawler_spark.urls import trap_patterns
+
+    urls = [f"https://trap.example.com/cal/{m}/{d}" for m in range(12) for d in range(25)]
+    urls += [f"https://h{h}.example.com/doc/{i}.html" for h in range(50) for i in range(6)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = {(r["host"], r["pattern"]): (r["n_urls"], r["trap"]) for r in trap_patterns(df, threshold=100).collect()}
+    assert rows[("trap.example.com", "/cal/0/0")] == (300, True)
+    for h in range(50):
+        assert rows[(f"h{h}.example.com", "/doc/0.html")] == (6, False)
+    # exact-threshold population is NOT a trap (strict >)
+    edge = [(f"https://e.com/p/{i}",) for i in range(100)]
+    got = trap_patterns(spark.createDataFrame(edge, "url string"), threshold=100).collect()
+    assert got[0]["n_urls"] == 100 and not got[0]["trap"]
