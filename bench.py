@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "sitemap_extract",
     "url_surt",
     "trap_detect",
+    "recrawl_schedule",
     "warc_roundtrip",
     "warc_cdx",
     "robots_sql_gate",

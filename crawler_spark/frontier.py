@@ -605,3 +605,70 @@ def robots_match_sql(frontier: DataFrame, robots: DataFrame) -> DataFrame:
         )
     )
     return best.drop("pattern", "is_allow", "plen", "__hit", "__rn", "__path")
+
+
+def recrawl_schedule(
+    fetch_log: DataFrame,
+    url_col: str = "url",
+    ts_us_col: str = "ts_us",
+    changed_col: str = "changed",
+    min_days: float = 0.25,
+    max_days: float = 30.0,
+) -> DataFrame:
+    """Adaptive recrawl scheduling from revisit history: estimate each
+    URL's change rate with the bias-reduced Poisson estimator of Cho &
+    Garcia-Molina ("Estimating Frequency of Change", TOIT 2003) and
+    derive the next revisit interval.  The reference crawls each source
+    once per invocation and has no revisit policy (the operator re-runs
+    it by hand, ``gdprCrawler.py``); a continuously-running frontier
+    must decide *when a fetched URL re-enters*, and fetch-at-the-
+    estimated-change-rate (clamped) is the canonical policy.
+
+    Estimator: over ``n`` visits spanning ``span`` days with ``X``
+    visits observing a changed page, changes-per-revisit-interval
+    ``r = -ln((n - X + 0.5) / (n + 0.5))`` (the +0.5 terms are the
+    paper's bias correction, finite even at X = n), mean interval
+    ``span / (n - 1)``, so ``lambda = r * (n - 1) / span`` per day;
+    ``interval_days = clamp(1 / lambda, min_days, max_days)`` with
+    never-seen-changed / single-visit URLs parked at ``max_days``.
+
+    Cross-engine determinism: timestamps enter as exact integer
+    MICROSECONDS (``ts_us``) so both engines aggregate integers and
+    apply the identical double-precision expression once at the end
+    (dates-as-strings discipline, applied to arithmetic).
+
+    Scale shape: one hash shuffle on url with map-side partial
+    aggregation (count / sum / min / max all combine), then a pure
+    projection — 10^10 fetch-log rows collapse to one row per URL
+    before any reducer sees them.
+
+    Output: (url, n_visits, n_changed, lambda_per_day, interval_days).
+    """
+    u = F.col(url_col)
+    agg = fetch_log.groupBy(u.alias("url")).agg(
+        F.count("*").alias("n_visits"),
+        F.sum(F.col(changed_col).cast("long")).alias("n_changed"),
+        F.min(ts_us_col).alias("__t0"),
+        F.max(ts_us_col).alias("__t1"),
+    )
+    span_days = (F.col("__t1") - F.col("__t0")).cast("double") / F.lit(86400.0e6)
+    n = F.col("n_visits").cast("double")
+    x = F.col("n_changed").cast("double")
+    r = -F.log((n - x + F.lit(0.5)) / (n + F.lit(0.5)))
+    lam = r * (n - F.lit(1.0)) / span_days
+    estimable = (F.col("n_visits") > 1) & (F.col("n_changed") > 0) & (span_days > 0)
+    lam_out = F.when(estimable, F.round(lam, 6)).otherwise(F.lit(0.0))
+    interval = F.when(
+        estimable,
+        F.round(
+            F.least(F.greatest(F.lit(1.0) / lam, F.lit(min_days)), F.lit(max_days)),
+            6,
+        ),
+    ).otherwise(F.lit(float(max_days)))
+    return agg.select(
+        "url",
+        "n_visits",
+        "n_changed",
+        lam_out.alias("lambda_per_day"),
+        interval.alias("interval_days"),
+    )

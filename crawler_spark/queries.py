@@ -2516,6 +2516,58 @@ FROM s WHERE loc <> ''
 ORACLE_SITEMAP = _oracle_sitemap()
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Adaptive recrawl scheduling (frontier.recrawl_schedule — Cho &
+    Garcia-Molina change-rate estimator): events become a revisit log
+    with three planted populations — multi-visit URLs with changes
+    (estimable: lambda > 0, clamped interval), multi-visit URLs that
+    never change (parked at max interval), and single-visit URLs
+    (parked: no estimate from one observation).  Timestamps enter as
+    exact integer micros so both engines do identical double math."""
+    e = F.col("event_id")
+    uid = e % 499
+    url = F.concat(
+        F.lit("https://h"), (uid % 20).cast("string"), F.lit(".example.com/"),
+        F.when(e % 7 == 0, F.concat(F.lit("s"), e.cast("string"))).otherwise(
+            F.concat(F.lit("p"), uid.cast("string"))
+        ),
+    )
+    log = _t(spark, sf_dir, "events").select(
+        url.alias("url"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        ((e % 3 == 0) & (uid >= 50)).alias("changed"),
+    )
+    return frontier_mod.recrawl_schedule(log)
+
+
+ORACLE_RECRAWL = """
+WITH log AS (SELECT
+    'https://h' || cast((event_id % 499) % 20 as varchar) || '.example.com/'
+      || CASE WHEN event_id % 7 = 0 THEN 's' || cast(event_id as varchar)
+              ELSE 'p' || cast(event_id % 499 as varchar) END AS url,
+    epoch_us(ts) AS ts_us,
+    (event_id % 3 = 0 AND event_id % 499 >= 50) AS changed
+  FROM events),
+a AS (SELECT url, count(*) AS n_visits,
+        cast(sum(cast(changed as bigint)) as bigint) AS n_changed,
+        min(ts_us) AS t0, max(ts_us) AS t1
+      FROM log GROUP BY 1),
+f AS (SELECT url, n_visits, n_changed,
+        cast(t1 - t0 as double) / 86400000000.0 AS span_days,
+        cast(n_visits as double) AS n, cast(n_changed as double) AS x
+      FROM a),
+g AS (SELECT url, n_visits, n_changed, span_days,
+        -ln((n - x + 0.5) / (n + 0.5)) * (n - 1.0) / span_days AS lam,
+        (n_visits > 1 AND n_changed > 0 AND span_days > 0) AS est
+      FROM f)
+SELECT url, n_visits, n_changed,
+  CASE WHEN est THEN round(lam, 6) ELSE 0.0 END AS lambda_per_day,
+  CASE WHEN est THEN round(least(greatest(1.0 / lam, 0.25), 30.0), 6)
+       ELSE 30.0 END AS interval_days
+FROM g
+"""
+
+
 def q_trap_detect(spark, sf_dir):
     """Crawler-trap detection (urls.trap_patterns): five synthesized
     URL populations — a calendar grid, a session-id query space, a
@@ -2907,6 +2959,7 @@ QUERIES = {
     "sitemap_extract": q_sitemap_extract,
     "url_surt": q_url_surt,
     "trap_detect": q_trap_detect,
+    "recrawl_schedule": q_recrawl_schedule,
     "warc_roundtrip": q_warc_roundtrip,
     "warc_cdx": q_warc_cdx,
     "robots_sql_gate": q_robots_sql_gate,
@@ -3006,6 +3059,7 @@ ORACLES = {
     "sitemap_extract": ORACLE_SITEMAP,
     "url_surt": ORACLE_URL_SURT,
     "trap_detect": ORACLE_TRAP,
+    "recrawl_schedule": ORACLE_RECRAWL,
     "warc_roundtrip": ORACLE_WARC,
     "warc_cdx": ORACLE_WARC_CDX,
     "robots_sql_gate": ORACLE_ROBOTS_SQL,
