@@ -159,3 +159,89 @@ def rank_priority(frontier: DataFrame, ranks: DataFrame, n_tiers: int = 8) -> Da
         )
         .drop("__rank_tier")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation with
+    pointer-doubling shortcuts: every node's label converges to the
+    MINIMUM node id in its component — a deterministic canonical
+    cluster id at any parallelism and on any engine (min is
+    associative/commutative exactly, like the integer PageRank above).
+
+    The cluster-resolution step the dedup family needs: MinHash /
+    SimHash / embedding near-dup emit PAIRS; picking one canonical doc
+    per near-dup *cluster* is exactly components over the pair graph
+    (transitively: A~B, B~C => one cluster even when A,C never pair).
+
+    Per round (all joins on slim (node:long, label:long) frames)::
+
+        nbr(v)   = min label over v's neighbors          # edges join
+        hop(v)   = label(label(v))                       # labels self-join
+        label'(v)= min(label(v), nbr(v), hop(v))
+
+    The ``hop`` term is the pointer-doubling shortcut: label chains
+    halve every round, so convergence is O(log diameter) rounds, not
+    O(diameter) — the difference between ~40 and ~12 rounds on a
+    10^10-node web graph.  Each round materializes the labels frame
+    with ``localCheckpoint`` (slim: 16 B/node) to truncate lineage —
+    without it the plan tree doubles per round and analysis time
+    dominates (the kmeans lesson); on a real cluster prefer a reliable
+    ``checkpoint`` dir so executor loss cannot drop blocks.  The
+    changed-row count per round is a bounded driver probe (one long),
+    the same convention as PageRank's dangling-mass probe.  Edges are
+    read once per round on the neighbor join only; with edges bucketed
+    by src the label shuffle is the only exchange.
+
+    Output: (node, component) for every distinct endpoint.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy(sym["u"].alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        l2 = labels.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        hop = labels.join(
+            l2, labels["label"] == l2["l_node"], "left"
+        ).select("node", "label", F.col("l_label").alias("hlabel"))
+        new = (
+            hop.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("hlabel"), F.col("label")),
+                    F.coalesce(F.col("nlabel"), F.col("label")),
+                ).alias("new_label"),
+                "label",
+            )
+        )
+        nxt = new.select(
+            "node", F.col("new_label").alias("label")
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -549,6 +549,48 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTER resolution: MinHash + SimHash emit pairwise
+    evidence; the canonical doc per cluster is connected components
+    over the union of both pair graphs (transitive: A~B by minhash and
+    B~C by simhash put A and C in one cluster even though no operator
+    ever paired them).  linkgraph.connected_components is min-label
+    propagation with pointer-doubling shortcuts — O(log diameter)
+    rounds, deterministic at any parallelism because min is exactly
+    associative.  The DuckDB twin is the same fixpoint as a recursive
+    CTE (transitive closure then min per node — tractable at oracle
+    scale, quadratic at 100 TB, which is why the engine ships the
+    log-round propagation instead)."""
+    docs = _t(spark, sf_dir, "documents")
+    mh = corpus.minhash_lsh_pairs(
+        docs, k=3, n_hashes=16, n_bands=8, threshold=0.5, max_bucket=256,
+    ).select("doc_a", "doc_b")
+    sh = corpus.simhash_pairs(
+        docs, bits=32, n_bands=4, max_hamming=3, max_bucket=1024,
+    ).select("doc_a", "doc_b")
+    return linkgraph.connected_components(
+        mh.unionByName(sh), src_col="doc_a", dst_col="doc_b",
+    )
+
+
+ORACLE_COMPONENTS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ORACLE_MINHASH}) mh
+  UNION
+  SELECT doc_a, doc_b FROM ({ORACLE_SIMHASH}) sh
+),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT u AS node, u AS r FROM sym
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
+)
+SELECT cast(node as bigint) AS node, cast(min(r) as bigint) AS component
+FROM reach GROUP BY node
+"""
+
+
 def q_fingerprints(spark, sf_dir):
     return corpus.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
 
@@ -3018,6 +3060,7 @@ QUERIES = {
     "frontier_schedule_sim": q_frontier_schedule_sim,
     "contamination_check": q_contamination,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_components": q_dedup_components,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3044,6 +3087,7 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_components": ORACLE_COMPONENTS,
     "fingerprints": ORACLE_FINGERPRINTS,
     "text_langid": ORACLE_LANGID,
     "text_quality": ORACLE_QUALITY,

@@ -93,3 +93,55 @@ def test_rank_priority_feeds_scheduler_order(spark):
     assert out["big"] == 0                      # highest rank -> tier 0
     assert out["big"] < out["small"]
     assert out["unranked"] == 2                 # untouched
+
+
+def _ledges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_components_two_clusters_min_label(spark):
+    """Two disjoint clusters each converge to the MINIMUM node id:
+    {1,5,9} via 1-5, 5-9 and {2,7} via 7-2 (direction irrelevant)."""
+    e = _ledges(spark, [(5, 1), (5, 9), (7, 2)])
+    got = {
+        r["node"]: r["component"]
+        for r in linkgraph.connected_components(e).collect()
+    }
+    assert got == {1: 1, 5: 1, 9: 1, 2: 2, 7: 2}
+
+
+def test_components_transitive_chain_pointer_doubling(spark):
+    """A 40-node path converges inside max_rounds=8: pure min
+    propagation needs 39 rounds, the hop (pointer-doubling) shortcut
+    needs ~log2(40) ≈ 6 — this test fails if the shortcut is dropped."""
+    e = _ledges(spark, [(i, i + 1) for i in range(100, 139)])
+    out = linkgraph.connected_components(e, max_rounds=8).collect()
+    assert {r["component"] for r in out} == {100}
+    assert len(out) == 40
+
+
+def test_components_deterministic_across_partitionings(spark):
+    """min is exactly associative: the labeling is identical at any
+    shuffle width (the property the dedup resolver relies on)."""
+    rows = [(i, (i * 7) % 23) for i in range(23)]
+    a = sorted(
+        map(tuple, linkgraph.connected_components(
+            _ledges(spark, rows).repartition(1)).collect())
+    )
+    b = sorted(
+        map(tuple, linkgraph.connected_components(
+            _ledges(spark, rows).repartition(13)).collect())
+    )
+    assert a == b
+
+
+def test_components_releases_intermediate_caches(spark):
+    """Each round's localCheckpoint is unpersisted once superseded;
+    only the final labels frame may stay pinned."""
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out = linkgraph.connected_components(
+        _ledges(spark, [(1, 2), (3, 4), (4, 5)])
+    )
+    out.collect()
+    during = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert during <= before + 1
