@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_components",
     "fingerprints",
     "text_langid",
     "text_quality",

@@ -193,9 +193,16 @@ def connected_components(
     dominates (the kmeans lesson); on a real cluster prefer a reliable
     ``checkpoint`` dir so executor loss cannot drop blocks.  The
     changed-row count per round is a bounded driver probe (one long),
-    the same convention as PageRank's dangling-mass probe.  Edges are
-    read once per round on the neighbor join only; with edges bucketed
-    by src the label shuffle is the only exchange.
+    the same convention as PageRank's dangling-mass probe.
+
+    ``edges`` is often an EXPENSIVE lazy plan (here: the MinHash +
+    SimHash banded near-dup pipelines) — it is materialized ONCE up
+    front, so each round's neighbor join reads checkpointed (u,v)
+    longs instead of re-running the producer; likewise each round
+    checkpoints (node, new_label, label) in one pass so the
+    convergence probe is a scan of materialized rows, not a second
+    execution of the round's joins.  With edges bucketed by src the
+    label shuffle is the only exchange per round.
 
     Output: (node, component) for every distinct endpoint.
     """
@@ -203,7 +210,9 @@ def connected_components(
         F.col(src_col).cast("long").alias("u"),
         F.col(dst_col).cast("long").alias("v"),
     )
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -233,15 +242,18 @@ def connected_components(
                 ).alias("new_label"),
                 "label",
             )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.filter(F.col("new_label") != F.col("label")).limit(1).count()
         )
         nxt = new.select(
             "node", F.col("new_label").alias("label")
         ).localCheckpoint(eager=True)
-        changed = (
-            new.filter(F.col("new_label") != F.col("label")).limit(1).count()
-        )
+        new.unpersist()
         labels.unpersist()
         labels = nxt
         if changed == 0:
             break
+    sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
