@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "sketch_countmin_topk",
     "sitemap_extract",
     "url_surt",
+    "url_etld1",
     "trap_detect",
     "recrawl_schedule",
     "warc_roundtrip",

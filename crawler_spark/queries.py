@@ -2803,6 +2803,85 @@ FROM c
 """
 
 
+def q_url_etld1(spark, sf_dir):
+    """Registrable domain (eTLD+1) per the publicsuffix.org algorithm
+    (urls.registrable_domain — K broadcast lookups + greatest(), zero
+    shuffle): hosts synthesized to hit every rule class — plain TLD,
+    multi-label rule (co.uk, k12.ma.us), wildcard (*.ck,
+    *.kawasaki.jp), exception (!www.ck, !city.kawasaki.jp), unknown
+    TLD (prevailing '*'), host==public-suffix (NULL etld1), and mixed
+    case.  Like ORACLE_URL_SURT the oracle does NOT re-run the
+    algorithm: it constructs the expected suffix/domain per case
+    directly, so the generic engine path is checked against an
+    independent derivation."""
+    k = F.col("o_orderkey")
+    n = (k % 50).cast("string")
+    m = k % 12
+    host = (
+        F.when(m == 0, F.concat(F.lit("H"), n, F.lit(".Example.COM")))
+        .when(m == 1, F.concat(F.lit("deep.h"), n, F.lit(".example.com")))
+        .when(m == 2, F.concat(F.lit("h"), n, F.lit(".example.co.uk")))
+        .when(m == 3, F.lit("co.uk"))
+        .when(m == 4, F.concat(F.lit("h"), n, F.lit(".test.ck")))
+        .when(m == 5, F.lit("www.ck"))
+        .when(m == 6, F.lit("a.www.ck"))
+        .when(m == 7, F.concat(F.lit("x.h"), n, F.lit(".k12.ma.us")))
+        .when(m == 8, F.concat(F.lit("h"), n, F.lit(".unknowntld")))
+        .when(m == 9, F.lit("sub.city.kawasaki.jp"))
+        .when(m == 10, F.concat(F.lit("foo.h"), n, F.lit(".kawasaki.jp")))
+        .otherwise(F.concat(F.lit("u"), n, F.lit(".github.io")))
+    )
+    df = _t(spark, sf_dir, "orders").select(host.alias("host"))
+    return urls_mod.registrable_domain(df).select(
+        "host", "public_suffix", "etld1"
+    )
+
+
+ORACLE_URL_ETLD1 = """
+WITH o AS (SELECT o_orderkey % 12 AS m,
+                  cast(o_orderkey % 50 as varchar) AS n
+           FROM orders)
+SELECT
+  CASE m WHEN 0 THEN 'H' || n || '.Example.COM'
+         WHEN 1 THEN 'deep.h' || n || '.example.com'
+         WHEN 2 THEN 'h' || n || '.example.co.uk'
+         WHEN 3 THEN 'co.uk'
+         WHEN 4 THEN 'h' || n || '.test.ck'
+         WHEN 5 THEN 'www.ck'
+         WHEN 6 THEN 'a.www.ck'
+         WHEN 7 THEN 'x.h' || n || '.k12.ma.us'
+         WHEN 8 THEN 'h' || n || '.unknowntld'
+         WHEN 9 THEN 'sub.city.kawasaki.jp'
+         WHEN 10 THEN 'foo.h' || n || '.kawasaki.jp'
+         ELSE 'u' || n || '.github.io' END AS host,
+  CASE m WHEN 0 THEN 'com'
+         WHEN 1 THEN 'com'
+         WHEN 2 THEN 'co.uk'
+         WHEN 3 THEN 'co.uk'
+         WHEN 4 THEN 'test.ck'
+         WHEN 5 THEN 'ck'
+         WHEN 6 THEN 'ck'
+         WHEN 7 THEN 'k12.ma.us'
+         WHEN 8 THEN 'unknowntld'
+         WHEN 9 THEN 'kawasaki.jp'
+         WHEN 10 THEN 'h' || n || '.kawasaki.jp'
+         ELSE 'github.io' END AS public_suffix,
+  CASE m WHEN 0 THEN 'example.com'
+         WHEN 1 THEN 'example.com'
+         WHEN 2 THEN 'example.co.uk'
+         WHEN 3 THEN NULL
+         WHEN 4 THEN 'h' || n || '.test.ck'
+         WHEN 5 THEN 'www.ck'
+         WHEN 6 THEN 'www.ck'
+         WHEN 7 THEN 'h' || n || '.k12.ma.us'
+         WHEN 8 THEN 'h' || n || '.unknowntld'
+         WHEN 9 THEN 'city.kawasaki.jp'
+         WHEN 10 THEN 'foo.h' || n || '.kawasaki.jp'
+         ELSE 'u' || n || '.github.io' END AS etld1
+FROM o
+"""
+
+
 def q_warc_cdx(spark, sf_dir):
     """CDX index over the WARC files of q_warc_roundtrip
     (warc.warc_cdx): the oracle re-derives (urlkey, ts14, url,
@@ -3000,6 +3079,7 @@ QUERIES = {
     "sketch_countmin_topk": q_countmin_topk,
     "sitemap_extract": q_sitemap_extract,
     "url_surt": q_url_surt,
+    "url_etld1": q_url_etld1,
     "trap_detect": q_trap_detect,
     "recrawl_schedule": q_recrawl_schedule,
     "warc_roundtrip": q_warc_roundtrip,
@@ -3102,6 +3182,7 @@ ORACLES = {
     "sketch_countmin_topk": ORACLE_COUNTMIN,
     "sitemap_extract": ORACLE_SITEMAP,
     "url_surt": ORACLE_URL_SURT,
+    "url_etld1": ORACLE_URL_ETLD1,
     "trap_detect": ORACLE_TRAP,
     "recrawl_schedule": ORACLE_RECRAWL,
     "warc_roundtrip": ORACLE_WARC,

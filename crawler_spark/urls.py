@@ -376,3 +376,148 @@ def resolve_redirects(edges, max_doublings: int = 4):
             .alias("status"),
         )
     )
+
+
+# Representative snapshot subset of the publicsuffix.org list: enough
+# rules to exercise every rule CLASS the algorithm defines (normal,
+# multi-label, wildcard '*.', exception '!') — the full ~9k-rule list
+# is a drop-in data swap, not a code change.  Entries are (rule,) in
+# the list's own syntax.
+PSL_RULES = [
+    "com", "org", "net", "edu", "gov", "io", "jp", "uk", "au", "br",
+    "us", "ck",                    # NB: real PSL has no bare 'ck' —
+    # kept OUT below; see _psl_entries.  Bare TLDs above are normal
+    # 1-label rules.
+    "co.uk", "gov.uk", "ac.uk", "co.jp", "ne.jp", "com.au", "com.br",
+    "k12.ma.us",                   # 3-label normal rule
+    "github.io",                   # private-section style entry
+    "*.ck", "!www.ck",             # the spec's canonical wildcard pair
+    "*.kawasaki.jp", "!city.kawasaki.jp",
+]
+PSL_RULES.remove("ck")             # mirror the real list: only *.ck / !www.ck
+
+
+def psl_entries(rules: list[str] | None = None) -> list[tuple[str, int, int, int]]:
+    """Compile PSL rules to join-key rows ``(key, exc, rule_labels,
+    ps_labels)`` for the per-position lookup in
+    :func:`registrable_domain`:
+
+    - normal rule ``co.uk``  -> key ``co.uk``, ps_labels = 2
+    - wildcard ``*.ck``      -> key ``ck`` (the rule's PARENT — what a
+      host's 1-label candidate suffix can equal), ps_labels = 2 (the
+      wildcard consumes one extra host label)
+    - exception ``!www.ck``  -> key ``www.ck``, exc = 1, ps_labels = 1
+      (spec: the exception's public suffix is the rule minus its
+      leftmost label)
+
+    ``rule_labels`` is the prevailing-rule length used for
+    longest-match ordering (wildcard counts its ``*``).
+    """
+    out = []
+    for r in rules if rules is not None else PSL_RULES:
+        if r.startswith("!"):
+            body = r[1:]
+            n = body.count(".") + 1
+            out.append((body, 1, n, n - 1))
+        elif r.startswith("*."):
+            body = r[2:]
+            n = body.count(".") + 2
+            out.append((body, 0, n, n))
+        else:
+            n = r.count(".") + 1
+            out.append((r, 0, n, n))
+    return out
+
+
+def registrable_domain(
+    df,
+    host_col: str = "host",
+    rules: list[str] | None = None,
+):
+    """eTLD+1 (registrable domain) per the publicsuffix.org algorithm —
+    the key a polite crawler REALLY budgets by (``a.example.co.uk`` and
+    ``b.example.co.uk`` are one registrant; ``a.co.uk`` and ``b.co.uk``
+    are not), and the unit of per-domain quality rollups in a training
+    pipeline.
+
+    Spec (https://publicsuffix.org/list/): among all rules matching a
+    suffix of the host, an exception rule wins; otherwise the rule
+    with the most labels; if none match the prevailing rule is ``*``.
+    public suffix = the matched labels (wildcard: +1 label; exception:
+    rule minus leftmost label); registrable = public suffix + 1 label,
+    NULL when the host IS a public suffix.
+
+    Scale shape: the PSL is a bounded dim (~9k rules, ~240 KB) and a
+    rule has at most K labels, so instead of exploding candidate
+    suffixes and re-grouping (a shuffle per URL), this takes the last
+    ``i`` labels for each i in 1..K and broadcast-joins each against
+    the compiled rule table — K narrow BroadcastHashJoins, zero
+    exchange, one streaming pass; the winner is ``greatest()`` over an
+    integer-encoded (exc, rule_labels, ps_labels) score, decoded by
+    modulus.  All codegen; no UDF.
+
+    Adds ``public_suffix`` and ``etld1`` columns.  Reference behavior:
+    the crawler's per-authority hosts make host==domain there
+    (``pygdpr/models/dpa/*``); this generalizes its implicit
+    one-host-per-authority assumption to arbitrary web hosts.
+    """
+    spark = df.sparkSession
+    entries = psl_entries(rules)
+    kmax = max(e[2] for e in entries)
+    host = F.lower(F.col(host_col))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    joined = df.withColumn("__n", n).withColumn("__labels", labels)
+    scores = []
+    for i in range(1, kmax + 1):
+        rdim = spark.createDataFrame(
+            [(k, e * 10000 + rl * 100 + ps)
+             for (k, e, rl, ps) in entries
+             # a candidate of i labels can only equal an i-label key
+             if k.count(".") + 1 == i],
+            f"__k{i} string, __score{i} int",
+        )
+        cand = F.when(
+            F.col("__n") >= i,
+            F.array_join(F.slice("__labels", F.col("__n") - i + 1, i), "."),
+        )
+        joined = joined.withColumn(f"__cand{i}", cand).join(
+            F.broadcast(rdim),
+            F.col(f"__cand{i}") == F.col(f"__k{i}"),
+            "left",
+        ).drop(f"__k{i}")
+        # a rule only matches when the host has at least ps labels
+        # (spec: '*.ck' does not match the bare host 'ck')
+        scores.append(
+            F.when(
+                F.col("__n") >= F.col(f"__score{i}") % 100,
+                F.col(f"__score{i}"),
+            )
+        )
+    best = F.greatest(*scores, F.lit(1))  # default prevailing rule '*'
+    ps_n = best % 100
+    out = (
+        joined.withColumn(
+            "public_suffix",
+            F.array_join(
+                F.slice("__labels", F.col("__n") - ps_n + 1, ps_n), "."
+            ),
+        )
+        .withColumn(
+            "etld1",
+            F.when(
+                F.col("__n") > ps_n,
+                F.array_join(
+                    F.slice(
+                        "__labels", F.col("__n") - ps_n, ps_n + 1
+                    ),
+                    ".",
+                ),
+            ),
+        )
+    )
+    drop = ["__n", "__labels"] + [
+        c for i in range(1, kmax + 1) for c in (f"__cand{i}", f"__score{i}")
+    ]
+    return out.drop(*drop)

@@ -211,3 +211,50 @@ def test_trap_patterns_flags_exploding_shapes(spark):
     edge = [(f"https://e.com/p/{i}",) for i in range(100)]
     got = trap_patterns(spark.createDataFrame(edge, "url string"), threshold=100).collect()
     assert got[0]["n_urls"] == 100 and not got[0]["trap"]
+
+
+def test_registrable_domain_psl_vectors(spark):
+    """publicsuffix.org test-vector subset covering every rule class:
+    normal, multi-label, wildcard (*.ck / *.kawasaki.jp), exception
+    (!www.ck / !city.kawasaki.jp), prevailing '*', host==suffix NULLs,
+    and case folding."""
+    from crawler_spark.urls import registrable_domain
+
+    cases = [
+        ("example.com", "com", "example.com"),
+        ("a.b.example.com", "com", "example.com"),
+        ("com", "com", None),
+        ("sub.example.co.uk", "co.uk", "example.co.uk"),
+        ("co.uk", "co.uk", None),
+        ("ck", "ck", None),            # *.ck needs >=2 labels
+        ("test.ck", "test.ck", None),  # itself a public suffix
+        ("a.b.test.ck", "test.ck", "b.test.ck"),
+        ("www.ck", "ck", "www.ck"),    # exception beats wildcard
+        ("www.www.ck", "ck", "www.ck"),
+        ("sub.city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),
+        ("foo.bar.kawasaki.jp", "bar.kawasaki.jp", "foo.bar.kawasaki.jp"),
+        ("x.h1.k12.ma.us", "k12.ma.us", "h1.k12.ma.us"),
+        ("example.unknowntld", "unknowntld", "example.unknowntld"),
+        ("MiXeD.ExAmPlE.CoM", "com", "example.com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in cases], "host string")
+    got = {
+        r["host"]: (r["public_suffix"], r["etld1"])
+        for r in registrable_domain(df).collect()
+    }
+    for h, ps, et in cases:
+        assert got[h] == (ps, et), (h, got[h], (ps, et))
+
+
+def test_psl_entries_compile():
+    """Rule compiler: wildcard keys are the rule's parent with +1
+    ps_labels; exceptions carry exc=1 and rule-minus-left-label ps."""
+    from crawler_spark.urls import psl_entries
+
+    e = {k: (exc, rl, ps) for k, exc, rl, ps in psl_entries(
+        ["com", "co.uk", "*.ck", "!www.ck"]
+    )}
+    assert e["com"] == (0, 1, 1)
+    assert e["co.uk"] == (0, 2, 2)
+    assert e["ck"] == (0, 2, 2)        # '*.ck': key=parent, 2 labels
+    assert e["www.ck"] == (1, 2, 1)    # '!www.ck': suffix is 'ck'
