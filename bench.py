@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "sitemap_extract",
     "url_surt",
     "url_etld1",
+    "domain_quality_rollup",
     "trap_detect",
     "recrawl_schedule",
     "warc_roundtrip",

@@ -2882,6 +2882,69 @@ FROM o
 """
 
 
+def q_domain_quality_rollup(spark, sf_dir):
+    """Per-registrable-domain quality rollup — the composition
+    registrable_domain is FOR: a training pipeline scores quality per
+    doc but curates per DOMAIN (domain reputation: how many docs, what
+    share passes, how good on average, how many languages).  Hosts are
+    synthesized deterministically from documents.source across three
+    suffix classes (multi-label co.uk, plain com, wildcard *.ck) so
+    the rollup key is the OUTPUT of the PSL algorithm, not a given
+    column; aggregates are integer-exact (sum of 1e4-scaled scores,
+    pass counts) so the hash check is float-safe.  Scale: one slim
+    doc_id equi-join (16 B + domain per row) + one bounded-key
+    groupBy; co-partitioning docs on doc_id makes the join
+    exchange-free on a real layout."""
+    docs = _t(spark, sf_dir, "documents")
+    s = F.regexp_extract("source", r"(\d+)", 1).cast("long")
+    tld = (
+        F.when(s % 3 == 0, F.lit(".co.uk"))
+        .when(s % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".test.ck"))
+    )
+    host = F.concat(
+        F.col("source"), F.lit(".d"), (s % 7).cast("string"), tld
+    )
+    dom = urls_mod.registrable_domain(
+        docs.select("doc_id", "lang", host.alias("host"))
+    ).select("doc_id", "lang", "etld1")
+    q = corpus.quality(docs).select("doc_id", "quality_score")
+    return (
+        dom.join(q, "doc_id")
+        .groupBy("etld1")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.round(F.col("quality_score") * 10000).cast("bigint")
+            ).alias("sum_q4"),
+            F.sum(
+                F.when(F.col("quality_score") >= 0.5, F.lit(1)).otherwise(
+                    F.lit(0)
+                ).cast("bigint")
+            ).alias("n_pass"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+ORACLE_DOMAIN_ROLLUP = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+    'd' || cast(cast(regexp_extract(source, '(\\d+)', 1) as bigint) % 7 as varchar)
+      || CASE cast(regexp_extract(source, '(\\d+)', 1) as bigint) % 3
+           WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com' ELSE '.test.ck' END AS etld1
+  FROM documents),
+q AS ({ORACLE_QUALITY})
+SELECT h.etld1,
+  count(*) AS n_docs,
+  cast(sum(cast(round(q.quality_score * 10000) as bigint)) as bigint) AS sum_q4,
+  cast(sum(CASE WHEN q.quality_score >= 0.5 THEN 1 ELSE 0 END) as bigint) AS n_pass,
+  count(DISTINCT h.lang) AS n_langs
+FROM h JOIN q USING (doc_id)
+GROUP BY h.etld1
+"""
+
+
 def q_warc_cdx(spark, sf_dir):
     """CDX index over the WARC files of q_warc_roundtrip
     (warc.warc_cdx): the oracle re-derives (urlkey, ts14, url,
@@ -3080,6 +3143,7 @@ QUERIES = {
     "sitemap_extract": q_sitemap_extract,
     "url_surt": q_url_surt,
     "url_etld1": q_url_etld1,
+    "domain_quality_rollup": q_domain_quality_rollup,
     "trap_detect": q_trap_detect,
     "recrawl_schedule": q_recrawl_schedule,
     "warc_roundtrip": q_warc_roundtrip,
@@ -3183,6 +3247,7 @@ ORACLES = {
     "sitemap_extract": ORACLE_SITEMAP,
     "url_surt": ORACLE_URL_SURT,
     "url_etld1": ORACLE_URL_ETLD1,
+    "domain_quality_rollup": ORACLE_DOMAIN_ROLLUP,
     "trap_detect": ORACLE_TRAP,
     "recrawl_schedule": ORACLE_RECRAWL,
     "warc_roundtrip": ORACLE_WARC,
