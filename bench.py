@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "url_surt",
     "url_etld1",
     "domain_quality_rollup",
+    "bm25_topk",
     "trap_detect",
     "recrawl_schedule",
     "warc_roundtrip",

@@ -1387,3 +1387,106 @@ def countmin_topk(
         .orderBy(F.desc("n_est"), "tok")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranked retrieval (inverted-index postings + BM25)
+# ---------------------------------------------------------------------------
+
+
+def postings(docs: DataFrame, query_tokens: list[str] | None = None) -> DataFrame:
+    """Relational inverted index: one row per (token, doc_id) with the
+    term frequency and the doc length — the distributed form of a
+    postings list (an array-per-token materialization is a display
+    artifact; at corpus scale the index IS this table, bucketed/sorted
+    by token so one term's postings are contiguous).
+
+    ``query_tokens`` pushes the term filter BELOW the tf groupBy: for
+    retrieval only the query's terms survive the explode, so the
+    shuffle carries q*N_docs rows, not the whole corpus's token
+    stream.  Output: (token, doc_id, dl, tf).
+    """
+    t = with_tokens(docs.filter(F.trim("text") != ""))
+    ex = t.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("dl"),
+        F.explode("tokens").alias("token"),
+    )
+    if query_tokens is not None:
+        ex = ex.filter(F.col("token").isin(list(query_tokens)))
+    return ex.groupBy("token", "doc_id", "dl").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_tokens: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed query, with a
+    RATIONAL idf — Robertson's (N - df + 0.5)/(df + 0.5) WITHOUT the
+    log (documented deviation: ln() is the one BM25 term whose last
+    ulp differs across math libraries; every remaining operation is
+    IEEE +,*,/ with a fixed association order, so scores are
+    bit-identical on any engine — same discipline as quality()'s
+    blend).  Ranking is still monotone in 1/df per term.
+
+    Scale shape: the term filter is pushed below the postings groupBy
+    (q*N rows, not the token stream), per-term df is a q-row broadcast
+    dim, corpus stats (N docs, total tokens) are a broadcast 1-row
+    cross join, and the per-doc total is a FIXED-ORDER pivot sum over
+    the query's terms (groupBy-sum of doubles would be
+    order-nondeterministic).  Global top-k is orderBy+limit —
+    TakeOrdered, not a single-partition window; ties broken by doc_id.
+
+    Output: (doc_id, dl, score) — the topk highest-scoring docs.
+    """
+    p = postings(docs, query_tokens)
+    stats = (
+        with_tokens(docs.filter(F.trim("text") != ""))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.sum(F.size("tokens")).cast("double").alias("n_tokens"),
+        )
+    )
+    dft = p.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    j = (
+        p.join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(stats))
+    )
+    k1c, onec, bc = F.lit(k1), F.lit(1.0), F.lit(b)
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    avgdl = F.col("n_tokens") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    score = (
+        idf
+        * (tf * (k1c + onec))
+        / (tf + k1c * (onec - bc + bc * dl / avgdl))
+    )
+    terms = j.select("doc_id", "dl", "token", score.alias("s"))
+    # fixed-order pivot: s(t1) + s(t2) + ... left-associated, so the
+    # double sum is bit-reproducible (and mirrored 1:1 in the oracle)
+    agg = terms.groupBy("doc_id", "dl").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+            ).alias(f"__s{i}")
+            for i, t in enumerate(query_tokens)
+        ]
+    )
+    total = F.col("__s0")
+    for i in range(1, len(query_tokens)):
+        total = total + F.col(f"__s{i}")
+    return (
+        agg.select("doc_id", "dl", F.round(total, 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(topk)
+    )

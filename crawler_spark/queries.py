@@ -2882,6 +2882,56 @@ FROM o
 """
 
 
+BM25_QUERY = ["spark", "hash", "window", "merge"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Ranked retrieval over the corpus (corpus.bm25_topk): rational-idf
+    BM25 — (N-df+0.5)/(df+0.5) without the ln(), the one BM25 term
+    whose last ulp differs across math libraries; everything else is
+    IEEE +,*,/ in a FIXED association order mirrored 1:1 in the SQL
+    below (term filter pushed under the postings groupBy, q-row df
+    broadcast, 1-row stats cross join, fixed-order pivot sum, global
+    top-k as TakeOrdered with doc_id tie-break) so scores hash
+    bit-identically on both engines."""
+    return corpus.bm25_topk(
+        _t(spark, sf_dir, "documents"), BM25_QUERY, topk=20
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
+_BM25_PIVOT = ",\n        ".join(
+    f"coalesce(max(CASE WHEN token = '{t}' THEN sc END), 0.0) AS s{i}"
+    for i, t in enumerate(BM25_QUERY)
+)
+_BM25_SUM = " + ".join(f"s{i}" for i in range(len(BM25_QUERY)))
+
+ORACLE_BM25 = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tokens FROM documents
+           WHERE trim(text) <> ''),
+st AS (SELECT cast(count(*) as double) AS n_docs,
+              cast(sum(len(tokens)) as double) AS n_tokens FROM t),
+d AS (SELECT doc_id, cast(len(tokens) as bigint) AS dl,
+             unnest(tokens) AS token FROM t),
+p AS (SELECT token, doc_id, dl, count(*) AS tf FROM d
+      WHERE token IN ({_BM25_IN}) GROUP BY 1, 2, 3),
+f AS (SELECT token, cast(count(*) as double) AS df FROM p GROUP BY 1),
+s AS (SELECT p.doc_id, p.dl, p.token,
+        ((st.n_docs - f.df + 0.5) / (f.df + 0.5))
+          * (cast(p.tf as double) * (1.2 + 1.0))
+          / (cast(p.tf as double)
+             + 1.2 * (1.0 - 0.75
+                      + 0.75 * cast(p.dl as double)
+                        / (st.n_tokens / st.n_docs))) AS sc
+      FROM p JOIN f USING (token) CROSS JOIN st),
+a AS (SELECT doc_id, dl,
+        {_BM25_PIVOT}
+      FROM s GROUP BY 1, 2)
+SELECT doc_id, dl, round({_BM25_SUM}, 4) AS score
+FROM a ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 def q_domain_quality_rollup(spark, sf_dir):
     """Per-registrable-domain quality rollup — the composition
     registrable_domain is FOR: a training pipeline scores quality per
@@ -3144,6 +3194,7 @@ QUERIES = {
     "url_surt": q_url_surt,
     "url_etld1": q_url_etld1,
     "domain_quality_rollup": q_domain_quality_rollup,
+    "bm25_topk": q_bm25_topk,
     "trap_detect": q_trap_detect,
     "recrawl_schedule": q_recrawl_schedule,
     "warc_roundtrip": q_warc_roundtrip,
@@ -3248,6 +3299,7 @@ ORACLES = {
     "url_surt": ORACLE_URL_SURT,
     "url_etld1": ORACLE_URL_ETLD1,
     "domain_quality_rollup": ORACLE_DOMAIN_ROLLUP,
+    "bm25_topk": ORACLE_BM25,
     "trap_detect": ORACLE_TRAP,
     "recrawl_schedule": ORACLE_RECRAWL,
     "warc_roundtrip": ORACLE_WARC,

@@ -431,3 +431,45 @@ def test_countmin_one_sided_and_deterministic(spark):
     assert a == b
     plan = corpus.countmin_topk(d)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_bm25_ranking_semantics(spark):
+    """Planted corpus: the rare term outweighs the common one (idf),
+    same-tf shorter docs outrank longer ones (length normalization),
+    and docs matching no query term are absent."""
+    from crawler_spark import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common filler filler"),
+            (2, "common common filler filler filler"),
+            (3, "rare common"),                      # shortest, both terms
+            (4, "filler filler filler filler"),      # no query term
+            (5, "common filler filler filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus.bm25_topk(docs, ["rare", "common"], topk=10).collect()
+    ids = [r["doc_id"] for r in out]
+    score = {r["doc_id"]: r["score"] for r in out}
+    assert 4 not in score                       # no query term -> absent
+    assert ids[0] == 3                          # both terms, shortest doc
+    assert score[1] > score[2]                  # rare term beats extra tf
+    assert score[2] > score[5]                  # same tf, shorter dl wins
+
+
+def test_postings_pushes_term_filter(spark):
+    """postings(query_tokens) keeps only the query's terms and carries
+    (dl, tf) exactly."""
+    from crawler_spark import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b d")], "doc_id long, text string"
+    )
+    rows = {
+        (r["token"], r["doc_id"]): (r["dl"], r["tf"])
+        for r in corpus.postings(docs, ["a", "b"]).collect()
+    }
+    assert rows == {
+        ("a", 1): (4, 2), ("b", 1): (4, 1), ("b", 2): (3, 2),
+    }
