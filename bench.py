@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "url_etld1",
     "domain_quality_rollup",
     "bm25_topk",
+    "anchor_texts",
     "trap_detect",
     "recrawl_schedule",
     "warc_roundtrip",

@@ -257,3 +257,54 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
+
+
+def anchor_texts(
+    edges: DataFrame,
+    topk: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target anchor-text aggregation: the top-k most frequent
+    normalized link texts pointing AT each URL, plus its in-link
+    counts — the web-graph rollup corpora ship beside the page text
+    (anchor text describes the TARGET better than the target's own
+    boilerplate; retrieval/QA training sets are built from it).
+
+    Normalization: lowercase, trim, collapse internal whitespace;
+    empty anchors and self-links dropped.  Ranking inside a target is
+    (count desc, anchor asc) — fully deterministic.
+
+    Scale shape: one partial-agg groupBy on (dst, anchor) — the only
+    full-width shuffle — then a row_number window on dst whose
+    ``rank <= k`` predicate triggers WindowGroupLimit, so map tasks
+    pre-prune each target's tail before the second (dst-keyed,
+    count-sized) exchange.  A mega-inlink target (every page links
+    "home") is bounded by its DISTINCT anchor count after the first
+    agg, not its in-link count.
+
+    Output: (dst, anchor, n_links, n_srcs, rank) — topk rows per dst.
+    """
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(anchor_col))), r"\s+", " "
+    )
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            norm.alias("anchor"),
+        )
+        .filter((F.col("anchor") != "") & (F.col("src") != F.col("dst")))
+    )
+    agg = e.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("src").alias("n_srcs"),
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_links").desc(), F.col("anchor")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )

@@ -2882,6 +2882,68 @@ FROM o
 """
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Per-target anchor-text rollup (linkgraph.anchor_texts): edges
+    synthesized with whitespace/case noise ('  Read   More ' vs 'read
+    more', 'Home' vs 'HOME ') so normalization is load-bearing, empty
+    anchors planted to exercise the drop, and a shared 'home'-like
+    anchor concentrating on few targets to exercise the (count desc,
+    anchor asc) deterministic top-k."""
+    k = F.col("o_orderkey")
+    src = F.concat(
+        F.lit("https://h"), (k % 50).cast("string"),
+        F.lit(".example.com/p"), k.cast("string"),
+    )
+    dst = F.concat(
+        F.lit("https://d"), (k % 11).cast("string"),
+        F.lit(".example.org/doc"), (k % 40).cast("string"),
+    )
+    anchor = (
+        F.when(k % 8 == 0, F.lit("  Read   More "))
+        .when(k % 8 == 1, F.lit("read more"))
+        .when(k % 8 == 2, F.lit("Home"))
+        .when(k % 8 == 3, F.lit("HOME "))
+        .when(k % 8 == 4, F.concat(F.lit("doc "), (k % 40).cast("string")))
+        .when(k % 8 == 5, F.lit(""))
+        .when(k % 8 == 6, F.lit("details"))
+        .otherwise(F.lit("Click  Here"))
+    )
+    edges = _t(spark, sf_dir, "orders").select(
+        src.alias("src"), dst.alias("dst"), anchor.alias("anchor")
+    )
+    return linkgraph.anchor_texts(edges, topk=3)
+
+
+ORACLE_ANCHOR_TEXTS = """
+WITH e AS (
+  SELECT 'https://h' || cast(k % 50 as varchar) || '.example.com/p'
+           || cast(k as varchar) AS src,
+         'https://d' || cast(k % 11 as varchar) || '.example.org/doc'
+           || cast(k % 40 as varchar) AS dst,
+         CASE k % 8 WHEN 0 THEN '  Read   More '
+                    WHEN 1 THEN 'read more'
+                    WHEN 2 THEN 'Home'
+                    WHEN 3 THEN 'HOME '
+                    WHEN 4 THEN 'doc ' || cast(k % 40 as varchar)
+                    WHEN 5 THEN ''
+                    WHEN 6 THEN 'details'
+                    ELSE 'Click  Here' END AS anchor
+  FROM (SELECT o_orderkey AS k FROM orders)),
+n AS (SELECT src, dst,
+             regexp_replace(lower(trim(anchor)), '\\s+', ' ', 'g') AS anchor
+      FROM e),
+f AS (SELECT * FROM n WHERE anchor <> '' AND src <> dst),
+a AS (SELECT dst, anchor,
+             cast(count(*) as bigint) AS n_links,
+             cast(count(DISTINCT src) as bigint) AS n_srcs
+      FROM f GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY dst ORDER BY n_links DESC, anchor) AS rk FROM a)
+SELECT dst, anchor, n_links, n_srcs, cast(rk as int) AS rank
+FROM r WHERE rk <= 3
+"""
+
+
 BM25_QUERY = ["spark", "hash", "window", "merge"]
 
 
@@ -3195,6 +3257,7 @@ QUERIES = {
     "url_etld1": q_url_etld1,
     "domain_quality_rollup": q_domain_quality_rollup,
     "bm25_topk": q_bm25_topk,
+    "anchor_texts": q_anchor_texts,
     "trap_detect": q_trap_detect,
     "recrawl_schedule": q_recrawl_schedule,
     "warc_roundtrip": q_warc_roundtrip,
@@ -3300,6 +3363,7 @@ ORACLES = {
     "url_etld1": ORACLE_URL_ETLD1,
     "domain_quality_rollup": ORACLE_DOMAIN_ROLLUP,
     "bm25_topk": ORACLE_BM25,
+    "anchor_texts": ORACLE_ANCHOR_TEXTS,
     "trap_detect": ORACLE_TRAP,
     "recrawl_schedule": ORACLE_RECRAWL,
     "warc_roundtrip": ORACLE_WARC,

@@ -145,3 +145,30 @@ def test_components_releases_intermediate_caches(spark):
     out.collect()
     during = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert during <= before + 1
+
+
+def test_anchor_texts_normalize_rank_and_drop(spark):
+    """Whitespace/case variants merge into one normalized anchor,
+    counts rank the top-k with (n desc, anchor asc) tie-break, and
+    empty anchors / self-links are dropped."""
+    rows = [
+        ("s1", "t", "  Read   More "),
+        ("s2", "t", "read more"),
+        ("s3", "t", "READ MORE"),
+        ("s1", "t", "home"),
+        ("s2", "t", "apple"),       # ties 'home' at n=1 -> apple first
+        ("s4", "t", "zebra"),
+        ("s5", "t", ""),            # dropped
+        ("t", "t", "self"),         # self-link dropped
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    out = [
+        (r["anchor"], r["n_links"], r["n_srcs"], r["rank"])
+        for r in linkgraph.anchor_texts(df, topk=3)
+        .orderBy("rank").collect()
+    ]
+    assert out == [
+        ("read more", 3, 3, 1),
+        ("apple", 1, 1, 2),
+        ("home", 1, 1, 3),          # 'zebra' pruned at topk=3
+    ]
