@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "domain_quality_rollup",
     "bm25_topk",
     "anchor_texts",
+    "robots_sitemaps",
     "trap_detect",
     "recrawl_schedule",
     "warc_roundtrip",

@@ -672,3 +672,34 @@ def recrawl_schedule(
         lam_out.alias("lambda_per_day"),
         interval.alias("interval_days"),
     )
+
+
+def robots_sitemaps(robots: DataFrame) -> DataFrame:
+    """``Sitemap:`` directives from robots.txt — the frontier's
+    sitemap DISCOVERY hook (sitemaps.org "Submitting via robots.txt"):
+    the directive is independent of user-agent groups, the key is
+    case-insensitive, multiple directives are allowed, and the value
+    must be an absolute URL; relative or non-http(s) values are
+    dropped (real crawlers can't fetch them).  Discovered URLs feed
+    :func:`crawler_spark.urls.sitemap_expand` to turn the container
+    into frontier rows.
+
+    One codegen projection over the exploded line stream — split,
+    regexp per line, filter; no shuffle, no window (unlike the
+    group-scoped rules, Sitemap lines need no group resolution).
+
+    Input: (host, robots_txt).  Output: (host, sitemap_url) distinct.
+    """
+    lines = robots.select(
+        "host",
+        F.explode(F.split("robots_txt", r"\r?\n")).alias("raw"),
+    ).select(
+        "host",
+        F.trim(F.regexp_replace("raw", "#.*", "")).alias("l"),
+    )
+    url = F.trim(F.regexp_extract("l", r"(?i)^sitemap\s*:\s*(.+)$", 1))
+    return (
+        lines.select("host", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url").rlike(r"^https?://"))
+        .distinct()
+    )

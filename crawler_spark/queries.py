@@ -2882,6 +2882,55 @@ FROM o
 """
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt (frontier.robots_sitemaps):
+    bodies plant a canonical 'Sitemap:' line, a lowercase cross-host
+    'sitemap:' line (key case-insensitivity), a commented-out decoy, a
+    relative URL (both dropped), and an exact duplicate (distinct) —
+    the oracle constructs the two expected survivors per host
+    directly."""
+    k = F.col("o_orderkey")
+    host = F.concat(
+        F.lit("h"), (k % 50).cast("string"), F.lit(".example.com")
+    )
+    robots = (
+        _t(spark, sf_dir, "orders")
+        .select(host.alias("host"), (k % 50).cast("string").alias("n"))
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private\nSitemap: https://h"),
+                F.col("n"),
+                F.lit(
+                    ".example.com/sitemap.xml\n"
+                    "sitemap:   https://cdn.example.net/s"
+                ),
+                F.col("n"),
+                F.lit(
+                    ".xml.gz\n"
+                    "# Sitemap: https://commented.example.com/x.xml\n"
+                    "Sitemap: /relative/sitemap.xml\n"
+                    "Sitemap: https://h"
+                ),
+                F.col("n"),
+                F.lit(".example.com/sitemap.xml\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    return frontier_mod.robots_sitemaps(robots)
+
+
+ORACLE_ROBOTS_SITEMAPS = """
+WITH n AS (SELECT DISTINCT cast(o_orderkey % 50 as varchar) AS n FROM orders)
+SELECT 'h' || n || '.example.com' AS host,
+       'https://h' || n || '.example.com/sitemap.xml' AS sitemap_url FROM n
+UNION ALL
+SELECT 'h' || n || '.example.com',
+       'https://cdn.example.net/s' || n || '.xml.gz' FROM n
+"""
+
+
 def q_anchor_texts(spark, sf_dir):
     """Per-target anchor-text rollup (linkgraph.anchor_texts): edges
     synthesized with whitespace/case noise ('  Read   More ' vs 'read
@@ -3258,6 +3307,7 @@ QUERIES = {
     "domain_quality_rollup": q_domain_quality_rollup,
     "bm25_topk": q_bm25_topk,
     "anchor_texts": q_anchor_texts,
+    "robots_sitemaps": q_robots_sitemaps,
     "trap_detect": q_trap_detect,
     "recrawl_schedule": q_recrawl_schedule,
     "warc_roundtrip": q_warc_roundtrip,
@@ -3364,6 +3414,7 @@ ORACLES = {
     "domain_quality_rollup": ORACLE_DOMAIN_ROLLUP,
     "bm25_topk": ORACLE_BM25,
     "anchor_texts": ORACLE_ANCHOR_TEXTS,
+    "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
     "trap_detect": ORACLE_TRAP,
     "recrawl_schedule": ORACLE_RECRAWL,
     "warc_roundtrip": ORACLE_WARC,

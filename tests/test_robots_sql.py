@@ -114,3 +114,33 @@ def test_crawl_delay_star_group_min_wins(spark):
         for r in FR.robots_crawl_delay_sql(robots).collect()
     }
     assert got == {"h1": 4}
+
+
+def test_robots_sitemaps_discovery(spark):
+    """Sitemap: directives are group-independent and key-case-
+    insensitive; comments and relative/non-http values drop; repeats
+    dedupe; a directive inside a bot group still counts."""
+    from crawler_spark.frontier import robots_sitemaps
+
+    body = (
+        "User-agent: bot\n"
+        "Disallow: /\n"
+        "Sitemap: https://a.example.com/inside-group.xml\n"
+        "\n"
+        "User-agent: *\n"
+        "SITEMAP:https://a.example.com/s.xml\n"
+        "sitemap:  https://cdn.example.net/a.xml.gz  \n"
+        "# Sitemap: https://a.example.com/commented.xml\n"
+        "Sitemap: /relative.xml\n"
+        "Sitemap: ftp://a.example.com/ftp.xml\n"
+        "Sitemap: https://a.example.com/s.xml\n"
+    )
+    df = spark.createDataFrame(
+        [("a.example.com", body)], "host string, robots_txt string"
+    )
+    got = sorted(r["sitemap_url"] for r in robots_sitemaps(df).collect())
+    assert got == [
+        "https://a.example.com/inside-group.xml",
+        "https://a.example.com/s.xml",
+        "https://cdn.example.net/a.xml.gz",
+    ]
