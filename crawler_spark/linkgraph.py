@@ -250,12 +250,14 @@ def connected_components(
         nxt = new.select(
             "node", F.col("new_label").alias("label")
         ).localCheckpoint(eager=True)
-        new.unpersist()
-        labels.unpersist()
+        # blocking: the loop's frames are slim (24 B/node) and a lagged
+        # async release makes cache accounting nondeterministic
+        new.unpersist(blocking=True)
+        labels.unpersist(blocking=True)
         labels = nxt
         if changed == 0:
             break
-    sym.unpersist()
+    sym.unpersist(blocking=True)
     return labels.select("node", F.col("label").alias("component"))
 
 
