@@ -161,6 +161,43 @@ def rank_priority(frontier: DataFrame, ranks: DataFrame, n_tiers: int = 8) -> Da
     )
 
 
+def _pinned_rdd_ids(spark) -> set[int]:
+    """Ids of currently persisted RDDs (cache + checkpoint blocks)."""
+    return {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+class _Ckpt:
+    """``localCheckpoint`` with a RELEASABLE handle.
+
+    Checkpoint blocks are persisted OUTSIDE the CacheManager, so
+    ``DataFrame.unpersist()`` is a **no-op** for them (empirically: the
+    id stays in ``getPersistentRDDs`` through blocking unpersist and a
+    JVM GC) — in a long-lived session an iterative operator would pin
+    every round's frame until the ContextCleaner eventually notices the
+    dropped reference.  This wrapper diffs the pinned-id set around the
+    checkpoint and releases those exact blocks via
+    ``SparkContext.unpersistRDD`` — deterministic, blocking, and safe
+    once every DERIVED checkpoint has been materialized (a
+    localCheckpoint cuts lineage, so blocks must never be dropped while
+    a live frame still scans them).
+    """
+
+    def __init__(self, df: DataFrame):
+        self.spark = df.sparkSession
+        before = _pinned_rdd_ids(self.spark)
+        self.df = df.localCheckpoint(eager=True)
+        self.ids = _pinned_rdd_ids(self.spark) - before
+
+    def release(self) -> None:
+        jsc = self.spark.sparkContext._jsc.sc()
+        for i in self.ids:
+            jsc.unpersistRDD(i, True)
+        self.ids = set()
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "src",
@@ -210,16 +247,15 @@ def connected_components(
         F.col(src_col).cast("long").alias("u"),
         F.col(dst_col).cast("long").alias("v"),
     )
-    sym = e.union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    labels = (
+    symc = _Ckpt(e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    sym = symc.df
+    labc = _Ckpt(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
+        labels = labc.df
         nbr = (
             sym.join(labels, sym["v"] == labels["node"])
             .groupBy(sym["u"].alias("node"))
@@ -231,7 +267,7 @@ def connected_components(
         hop = labels.join(
             l2, labels["label"] == l2["l_node"], "left"
         ).select("node", "label", F.col("l_label").alias("hlabel"))
-        new = (
+        newc = _Ckpt(
             hop.join(nbr, "node", "left")
             .select(
                 "node",
@@ -242,23 +278,24 @@ def connected_components(
                 ).alias("new_label"),
                 "label",
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
-            new.filter(F.col("new_label") != F.col("label")).limit(1).count()
+            newc.df.filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
         )
-        nxt = new.select(
-            "node", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=True)
-        # blocking: the loop's frames are slim (24 B/node) and a lagged
-        # async release makes cache accounting nondeterministic
-        new.unpersist(blocking=True)
-        labels.unpersist(blocking=True)
-        labels = nxt
+        nxtc = _Ckpt(newc.df.select("node", F.col("new_label").alias("label")))
+        # nxt is materialized and self-contained -> the previous round's
+        # blocks (and this round's 3-column frame) can be dropped NOW
+        newc.release()
+        labc.release()
+        labc = nxtc
         if changed == 0:
             break
-    sym.unpersist(blocking=True)
-    return labels.select("node", F.col("label").alias("component"))
+    symc.release()
+    # the final labels frame stays pinned (callers own its lifetime,
+    # same convention as pagerank_fixedpoint's returned frame)
+    return labc.df.select("node", F.col("label").alias("component"))
 
 
 def anchor_texts(

@@ -136,15 +136,17 @@ def test_components_deterministic_across_partitionings(spark):
 
 
 def test_components_releases_intermediate_caches(spark):
-    """Each round's localCheckpoint is unpersisted once superseded;
-    only the final labels frame may stay pinned."""
-    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    """Checkpoint blocks live outside the CacheManager (unpersist() is
+    a no-op for them), so each round's frames are dropped explicitly
+    by RDD id — after the call EXACTLY the returned labels frame is
+    newly pinned, deterministically, not eventually-by-GC."""
+    before = linkgraph._pinned_rdd_ids(spark)
     out = linkgraph.connected_components(
         _ledges(spark, [(1, 2), (3, 4), (4, 5)])
     )
     out.collect()
-    during = len(spark.sparkContext._jsc.getPersistentRDDs())
-    assert during <= before + 1
+    new_ids = linkgraph._pinned_rdd_ids(spark) - before
+    assert len(new_ids) == 1
 
 
 def test_anchor_texts_normalize_rank_and_drop(spark):
